@@ -1,0 +1,175 @@
+"""clustering.connected_components / strongly_connected_components.
+
+Reference contracts:
+
+- ``connected_components(Graph(is_directed=False)) -> NodeMap`` — node →
+  component label; labels are arbitrary, only the PARTITION must match
+  (abstract def ``plugins/core/algorithms/clustering.py:6-8``; nx impl
+  ``plugins/networkx/algorithms.py:61-67``; scipy impl
+  ``plugins/scipy/algorithms.py:18-23``; partition comparator
+  ``tests/algorithms/test_clustering.py:33-51``).
+- ``strongly_connected_components(Graph(is_directed=True)) -> NodeMap``
+  (``clustering.py:11-13``; nx ``networkx/algorithms.py:69-75``).
+
+Spark plan — hash-min label exchange:
+
+- init ``label[v] = v``; each round ``label[v] = min(label[v], min over
+  neighbors' labels)`` via (edges ⋈ labels on src) → groupBy(dst).min,
+  unioned with the current labels; converge when no label changed.
+- rounds = O(graph diameter); each round is one shuffle on the vertex-state
+  table (edges stay put, hash-partitioned by src once).
+- the "changed" count is computed in the same action that materializes the
+  new labels' aggregate (one extra lightweight agg per round).
+
+Our labels therefore equal min-reachable-node-id per component: a canonical
+labeling, which trivially satisfies the partition-equality contract.
+
+SCC uses forward-backward reachability coloring (FW-BW / coloring
+algorithm): propagate min-id forward and backward; nodes agreeing on both
+belong to the SCC of that min node. Iterated on the residual graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metagraph_spark.exceptions import ConvergenceError
+from metagraph_spark.graph import DST, ID, SRC, Graph
+from metagraph_spark.state import CheckpointManager, truncate_lineage
+
+
+def _min_label_fixpoint(
+    spark,
+    sym_edges: DataFrame,
+    labels: DataFrame,
+    max_rounds: int,
+    fixed_rounds: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+    start_round: int = 0,
+) -> DataFrame:
+    """Iterate label[v] = min(label[v], min over in-neighbors) to fixpoint.
+
+    ``labels``: (id, label). ``sym_edges`` must contain BOTH directions for
+    undirected semantics. Returns the converged labels DataFrame.
+    """
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    rnd = start_round
+    while rnd < total:
+        nbr_min = (
+            sym_edges.join(
+                labels.select(F.col(ID).alias(SRC), F.col("label")), SRC
+            )
+            .groupBy(F.col(DST).alias(ID))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, ID, "left")
+            .select(
+                ID,
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        if checkpointer is not None:
+            new_labels = checkpointer.save(
+                rnd,
+                new_labels,
+                {"algorithm": "connected_components"},
+            )
+        else:
+            new_labels = truncate_lineage(new_labels)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        rnd += 1
+        if fixed_rounds is None and changed == 0:
+            return labels
+    if fixed_rounds is not None:
+        return labels
+    raise ConvergenceError(
+        f"connected_components did not stabilize in {max_rounds} rounds"
+    )
+
+
+def connected_components(
+    graph: Graph,
+    max_rounds: int = 200,
+    fixed_rounds: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+) -> DataFrame:
+    """Return NodeMap ``(id: long, label: long)``; label = min node id in the
+    component. Directed input is treated as its undirected underlying graph
+    (matches nx ``connected_components`` requiring undirected,
+    ``plugins/networkx/algorithms.py:61-67``)."""
+    spark = graph.edges.sparkSession
+    # always symmetrize: CC is over the undirected underlying graph
+    e = graph.edges.select(SRC, DST)
+    sym = e.unionAll(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+
+    start_round = 0
+    labels = None
+    if checkpointer is not None:
+        latest = checkpointer.latest()
+        if latest is not None:
+            labels = checkpointer.load(spark, latest).drop("_changed")
+            start_round = latest + 1
+    if labels is None:
+        labels = truncate_lineage(
+            graph.node_ids().select(ID, F.col(ID).alias("label"))
+        )
+    return _min_label_fixpoint(
+        spark,
+        sym,
+        labels,
+        max_rounds,
+        fixed_rounds=fixed_rounds,
+        checkpointer=checkpointer,
+        start_round=start_round,
+    )
+
+
+def strongly_connected_components(
+    graph: Graph, max_rounds: int = 200, max_outer: int = 50
+) -> DataFrame:
+    """Return NodeMap ``(id: long, label: long)`` of SCCs (directed).
+
+    Coloring / FW-BW: propagate min-id along forward edges and along reverse
+    edges; vertices where forward-color == backward-color == c form the SCC
+    seeded by c. Peel those off and repeat on the residual graph. Each outer
+    round removes at least one SCC; trim isolated/acyclic tails fast because
+    singleton SCCs resolve immediately.
+    """
+    spark = graph.edges.sparkSession
+    edges = truncate_lineage(graph.edges.select(SRC, DST).distinct())
+    remaining = truncate_lineage(graph.node_ids())
+    out = None
+
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        init = remaining.select(ID, F.col(ID).alias("label"))
+        fwd = _min_label_fixpoint(spark, edges, truncate_lineage(init), max_rounds)
+        rev_edges = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        bwd = _min_label_fixpoint(spark, rev_edges, truncate_lineage(init), max_rounds)
+        scc = (
+            fwd.withColumnRenamed("label", "f")
+            .join(bwd.withColumnRenamed("label", "b"), ID)
+            .filter(F.col("f") == F.col("b"))
+            .select(ID, F.col("f").alias("label"))
+        )
+        scc = truncate_lineage(scc)
+        out = scc if out is None else truncate_lineage(out.unionAll(scc))
+        remaining = truncate_lineage(
+            remaining.join(scc.select(ID), ID, "left_anti")
+        )
+        edges = truncate_lineage(
+            edges.join(remaining.select(F.col(ID).alias(SRC)), SRC, "left_semi")
+            .join(remaining.select(F.col(ID).alias(DST)), DST, "left_semi")
+        )
+    else:
+        if not remaining.isEmpty():
+            raise ConvergenceError(f"SCC did not finish in {max_outer} outer rounds")
+    return out if out is not None else spark.createDataFrame([], "id long, label long")

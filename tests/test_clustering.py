@@ -1,0 +1,160 @@
+"""CC / LPA / triangle / SCC parity tests.
+
+Golden fixtures ported from
+/root/reference/metagraph/tests/algorithms/test_clustering.py:
+- CC/LPA graph (:7-51, :186-227): expected partition {0,1,3,4} | {2,5,6,7}
+- triangle graph (:91-120): expected count 5
+- transitivity fixture (:123-147): expected 3/11
+Partition outputs compare as groupings, not literal labels (comparator
+analog :33-51). Oracle for random graphs: pure-python union-find.
+"""
+
+import math
+
+import pytest
+
+from metagraph_spark.graph import build
+from metagraph_spark.operators.components import (
+    connected_components,
+    strongly_connected_components,
+)
+from metagraph_spark.operators.lpa import label_propagation_community
+from metagraph_spark.operators.triangles import (
+    global_clustering_coefficient,
+    triangle_count,
+    triangles_per_node,
+)
+from tests.conftest import df_from_edges
+
+CC_EDGES = [
+    (0, 3, 1), (1, 0, 2), (1, 4, 3), (2, 5, 5), (2, 7, 6),
+    (3, 1, 7), (3, 4, 8), (5, 6, 10), (6, 2, 11),
+]
+TRI_EDGES = [
+    (0, 1, 100), (0, 3, 200), (0, 4, 300), (1, 3, 50), (1, 4, 55),
+    (2, 4, 60), (2, 5, 65), (2, 6, 70), (3, 4, 75), (5, 6, 20), (6, 7, 10),
+]
+
+
+def partition_of(rows):
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["label"], set()).add(r["id"])
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def union_find_oracle(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_connected_components_golden(spark):
+    g = build(df_from_edges(spark, CC_EDGES), is_directed=False)
+    labels = connected_components(g)
+    assert partition_of(labels.collect()) == frozenset(
+        [frozenset({0, 1, 3, 4}), frozenset({2, 5, 6, 7})]
+    )
+
+
+def test_connected_components_isolates_and_random(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    g = build(df_from_edges(spark, edges, weighted=False), nodes=nodes_df,
+              is_directed=False)
+    labels = connected_components(g)
+    assert partition_of(labels.collect()) == union_find_oracle(edges, nodes)
+
+
+def test_lpa_golden_partition(spark):
+    g = build(df_from_edges(spark, CC_EDGES), is_directed=False)
+    labels = label_propagation_community(g)
+    assert partition_of(labels.collect()) == frozenset(
+        [frozenset({0, 1, 3, 4}), frozenset({2, 5, 6, 7})]
+    )
+
+
+def test_triangle_count_golden(spark):
+    g = build(df_from_edges(spark, TRI_EDGES), is_directed=False)
+    assert triangle_count(g) == 5
+
+
+def test_triangle_count_duplicate_and_selfloop_robust(spark):
+    noisy = TRI_EDGES + [(1, 0, 1), (4, 4, 9), (3, 1, 2)]  # dup reversed + loop
+    g = build(df_from_edges(spark, noisy), is_directed=False)
+    assert triangle_count(g) == 5
+
+
+def test_triangles_per_node(spark):
+    g = build(df_from_edges(spark, TRI_EDGES), is_directed=False)
+    got = {r["id"]: r["triangles"] for r in triangles_per_node(g).collect()}
+    # brute-force oracle
+    adj = {}
+    for s, d, _ in TRI_EDGES:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    expected = {}
+    for v, nbrs in adj.items():
+        nb = sorted(nbrs)
+        t = sum(
+            1
+            for i in range(len(nb))
+            for j in range(i + 1, len(nb))
+            if nb[j] in adj[nb[i]]
+        )
+        if t:
+            expected[v] = t
+    assert got == expected
+
+
+def test_global_clustering_coefficient_golden(spark):
+    # reference transitivity fixture (test_clustering.py:123-147): 7-edge graph -> 3/11
+    edges = [(1, 2, 1), (1, 5, 1), (2, 3, 1), (2, 5, 1), (3, 4, 1), (4, 5, 1), (4, 6, 1)]
+    g = build(df_from_edges(spark, edges), is_directed=False)
+    assert math.isclose(global_clustering_coefficient(g), 3 / 11, rel_tol=1e-12)
+
+
+def test_scc_golden(spark):
+    # reference SCC fixture (test_clustering.py:54-88): expected partition
+    # {0,1,2} | {3}
+    edges = [(0, 1), (0, 2), (2, 0), (1, 2), (3, 2)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    labels = strongly_connected_components(g)
+    assert partition_of(labels.collect()) == frozenset(
+        [frozenset({0, 1, 2}), frozenset({3})]
+    )
+
+
+def test_scc_two_cycles_and_singletons(spark):
+    # two disjoint cycles bridged one-way + a sink and an isolate-in-edges node
+    edges = [
+        (0, 3), (1, 0), (3, 1),          # cycle {0,1,3}
+        (1, 4), (3, 4),                  # into sink 4
+        (2, 5), (5, 6), (6, 2),          # cycle {2,5,6}
+        (2, 7), (4, 5),                  # bridge 4 -> cycle, 2 -> 7
+    ]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    labels = strongly_connected_components(g)
+    assert partition_of(labels.collect()) == frozenset(
+        [
+            frozenset({0, 1, 3}),
+            frozenset({2, 5, 6}),
+            frozenset({4}),
+            frozenset({7}),
+        ]
+    )
