@@ -1,0 +1,206 @@
+"""traversal.* — BFS, Bellman-Ford/Dijkstra (SSSP), minimum spanning tree.
+
+Reference contracts (abstract defs ``plugins/core/algorithms/traversal.py``):
+
+- ``bfs_iter(Graph, source_node, depth_limit=-1) -> Vector`` (:22-30): node
+  ids in BFS visit order. The golden test's order equals (depth asc, id asc)
+  — ``tests/algorithms/test_traversal.py:45-92`` expects [0,3,4,5,6,2,7] —
+  which is exactly what a frontier-parallel BFS yields with an id tie-break,
+  so that's our documented order.
+- ``bfs_tree(Graph, source_node, depth_limit=-1) -> (NodeMap depth, NodeMap
+  parent)`` (:33-38): parent tie-break = smallest parent id at the minimal
+  depth (nx impl ``plugins/networkx/algorithms.py:226-265``).
+- ``bellman_ford(Graph(edge_type=map), source) -> (NodeMap parents, NodeMap
+  distance)`` (:6-11); ``dijkstra(Graph(no negative weights), source)``
+  (:55-63) — same outputs; the distributed physical plan for both is
+  iterative relaxation (delta-stepping is out of scope), so dijkstra
+  delegates to bellman_ford after a non-negativity check. Golden parities:
+  ``test_traversal.py:277-345``.
+- ``minimum_spanning_tree(Graph(is_directed=False, edge_type=map)) -> Graph``
+  (:66-72): forest when disconnected (``test_traversal.py:347-432``).
+  Physical plan: Borůvka — per-component minimum outgoing edge (join +
+  groupBy-min with deterministic tie-break), contract via hash-min CC labels,
+  repeat; O(log V) rounds, each a join+agg.
+
+All loops materialize per-superstep state with lineage truncation; no Python
+row functions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metagraph_spark.exceptions import ConvergenceError, GraphPropertyError
+from metagraph_spark.graph import DST, ID, SRC, WEIGHT, Graph
+from metagraph_spark.state import truncate_lineage
+
+
+def bfs_tree(
+    graph: Graph, source_node: int, depth_limit: int = -1
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(depths, parents)``: NodeMaps ``(id, depth)`` and
+    ``(id, parent)`` over reachable nodes; source's parent is itself."""
+    edges = graph.symmetrized().select(SRC, DST)
+    if depth_limit < 0:
+        depth_limit = 2_000_000_000
+    visited = truncate_lineage(
+        graph.edges.sparkSession.createDataFrame(
+            [(int(source_node), 0, int(source_node))], "id long, depth int, parent long"
+        )
+    )
+    frontier = visited.select(ID)
+    depth = 0
+    while depth < depth_limit:
+        depth += 1
+        nxt = (
+            edges.join(frontier.withColumnRenamed(ID, SRC), SRC)
+            .select(F.col(DST).alias(ID), F.col(SRC).alias("parent"))
+            .groupBy(ID)
+            .agg(F.min("parent").alias("parent"))
+            .join(visited.select(ID), ID, "left_anti")
+            .select(ID, F.lit(depth).alias("depth"), "parent")
+        )
+        nxt = truncate_lineage(nxt)
+        if nxt.isEmpty():
+            break
+        visited = truncate_lineage(visited.unionAll(nxt))
+        frontier = nxt.select(ID)
+    return visited.select(ID, "depth"), visited.select(ID, "parent")
+
+
+def bfs_iter(graph: Graph, source_node: int, depth_limit: int = -1) -> DataFrame:
+    """BFS visit order as ``(pos, id)`` rows — the Vector return re-expressed
+    as an ordered DataFrame; order = (depth asc, id asc)."""
+    depths, _ = bfs_tree(graph, source_node, depth_limit)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("depth", ID)
+    return depths.select(
+        (F.row_number().over(w) - 1).alias("pos"), ID
+    )
+
+
+def bellman_ford(
+    graph: Graph, source_node: int, max_rounds: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(parents, distances)`` NodeMaps over reachable nodes.
+
+    Iterative relaxation: ``dist'[v] = min(dist[v], min_{(u,v)} dist[u]+w)``;
+    parent = argmin with (distance, parent-id) tie-break. Converges in at
+    most |V|-1 rounds; a further improving round means a negative cycle
+    (raises ConvergenceError, mirroring nx's NetworkXUnbounded surface)."""
+    if not graph.is_weighted:
+        raise GraphPropertyError("bellman_ford requires edge weights")
+    edges = graph.symmetrized().select(SRC, DST, WEIGHT)
+    spark = graph.edges.sparkSession
+    state = truncate_lineage(
+        spark.createDataFrame(
+            [(int(source_node), 0.0, int(source_node))],
+            "id long, dist double, parent long",
+        )
+    )
+    limit = max_rounds if max_rounds is not None else graph.num_nodes() + 1
+    for rnd in range(limit):
+        cand = (
+            edges.join(
+                state.select(F.col(ID).alias(SRC), F.col("dist").alias("_d")), SRC
+            )
+            .select(
+                F.col(DST).alias(ID),
+                (F.col("_d") + F.col(WEIGHT)).alias("dist"),
+                F.col(SRC).alias("parent"),
+            )
+        )
+        merged = (
+            state.unionAll(cand)
+            .groupBy(ID)
+            .agg(F.min(F.struct("dist", "parent")).alias("best"))
+            .select(ID, F.col("best.dist").alias("dist"), F.col("best.parent").alias("parent"))
+        )
+        merged = truncate_lineage(merged)
+        # converged when no distance improved
+        improved = (
+            merged.join(
+                state.select(ID, F.col("dist").alias("_old")), ID, "left"
+            )
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .count()
+        )
+        state.unpersist()
+        state = merged
+        if improved == 0:
+            return state.select(ID, "parent"), state.select(ID, "dist")
+    raise ConvergenceError(
+        "bellman_ford did not converge — negative cycle reachable from source"
+    )
+
+
+def dijkstra(
+    graph: Graph, source_node: int
+) -> tuple[DataFrame, DataFrame]:
+    """Same outputs as bellman_ford; requires non-negative weights
+    (``traversal.py:55-63``). Distributed physical plan = relaxation."""
+    if graph.has_negative_weights():
+        raise GraphPropertyError("dijkstra requires non-negative edge weights")
+    return bellman_ford(graph, source_node)
+
+
+def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> Graph:
+    """Borůvka MST/forest. Returns an undirected Graph whose edges are the
+    chosen tree edges with their original weights (canonical orientation).
+
+    Each round: every current component picks its minimum-weight outgoing
+    edge (ties broken on (weight, src, dst) for determinism — distinct edge
+    weights in the reference fixtures make this exact), components merge via
+    hash-min CC on the chosen edges. O(log V) rounds."""
+    if graph.is_directed:
+        raise GraphPropertyError("minimum_spanning_tree requires an undirected graph")
+    if not graph.is_weighted:
+        raise GraphPropertyError("minimum_spanning_tree requires edge weights")
+    from metagraph_spark.operators.components import connected_components
+
+    canon = truncate_lineage(graph.canonical_undirected_edges())
+    # component label per node, updated per round
+    comp = truncate_lineage(
+        graph.node_ids().select(ID, F.col(ID).alias("comp"))
+    )
+    chosen = None
+    for _ in range(max_rounds):
+        lab_s = comp.select(F.col(ID).alias(SRC), F.col("comp").alias("_cs"))
+        lab_d = comp.select(F.col(ID).alias(DST), F.col("comp").alias("_cd"))
+        cross = (
+            canon.join(lab_s, SRC)
+            .join(lab_d, DST)
+            .filter(F.col("_cs") != F.col("_cd"))
+        )
+        if cross.isEmpty():
+            break
+        # min outgoing edge per component (both endpoints' components vote)
+        cand = cross.select(
+            F.col("_cs").alias("comp"), SRC, DST, WEIGHT
+        ).unionAll(cross.select(F.col("_cd").alias("comp"), SRC, DST, WEIGHT))
+        picks = (
+            cand.groupBy("comp")
+            .agg(F.min(F.struct(WEIGHT, SRC, DST)).alias("e"))
+            .select(
+                F.col(f"e.{SRC}").alias(SRC),
+                F.col(f"e.{DST}").alias(DST),
+                F.col(f"e.{WEIGHT}").alias(WEIGHT),
+            )
+            .distinct()
+        )
+        picks = truncate_lineage(picks)
+        chosen = picks if chosen is None else truncate_lineage(
+            chosen.unionAll(picks).distinct()
+        )
+        # merge components: CC over the chosen edges so far
+        cc = connected_components(
+            Graph(edges=chosen.select(SRC, DST), nodes=graph.node_ids(),
+                  is_directed=False)
+        )
+        comp = truncate_lineage(cc.withColumnRenamed("label", "comp"))
+    spark = graph.edges.sparkSession
+    if chosen is None:
+        chosen = spark.createDataFrame([], "src long, dst long, weight double")
+    return Graph(edges=chosen, nodes=graph.node_ids(), is_directed=False)

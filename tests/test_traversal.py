@@ -1,0 +1,121 @@
+"""Traversal parity tests — golden fixtures from
+/root/reference/metagraph/tests/algorithms/test_traversal.py.
+"""
+
+import math
+
+import pytest
+
+from metagraph_spark.exceptions import ConvergenceError, GraphPropertyError
+from metagraph_spark.graph import build
+from metagraph_spark.operators.traversal import (
+    bellman_ford,
+    bfs_iter,
+    bfs_tree,
+    dijkstra,
+    minimum_spanning_tree,
+)
+from tests.conftest import df_from_edges
+
+# bfs fixture (test_traversal.py:45-92)
+BFS_EDGES = [
+    (0, 3, 1), (1, 0, 2), (1, 4, 3), (2, 4, 4), (2, 5, 5),
+    (2, 7, 6), (3, 4, 8), (4, 5, 9), (5, 6, 10), (6, 2, 11),
+]
+# bellman-ford / dijkstra fixture (test_traversal.py:277-345)
+SSSP_EDGES = [
+    (0, 3, 1), (1, 0, 2), (1, 4, 3), (2, 4, 4), (2, 5, 5), (2, 7, 6),
+    (3, 1, 7), (3, 4, 8), (4, 5, 9), (5, 6, 10), (6, 2, 11),
+]
+
+
+def test_bfs_iter_golden(spark):
+    g = build(df_from_edges(spark, BFS_EDGES), is_directed=True)
+    order = [r["id"] for r in bfs_iter(g, 0).orderBy("pos").collect()]
+    assert order == [0, 3, 4, 5, 6, 2, 7]
+    # depth limit: first 4 must match
+    limited = [r["id"] for r in bfs_iter(g, 0, depth_limit=4).orderBy("pos").collect()]
+    assert limited[:4] == [0, 3, 4, 5]
+
+
+def test_bfs_tree_golden(spark):
+    # bfs_tree fixture (test_traversal.py:94-186)
+    edges = [
+        (0, 3, 1), (0, 1, 2), (1, 3, 12), (1, 4, 3), (2, 4, 4), (2, 5, 5),
+        (2, 7, 6), (3, 4, 8), (4, 5, 9), (5, 6, 10), (6, 2, 11),
+    ]
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    depths, parents = bfs_tree(g, 0)
+    got_depth = {r["id"]: r["depth"] for r in depths.collect()}
+    assert got_depth == {0: 0, 1: 1, 3: 1, 4: 2, 5: 3, 6: 4, 2: 5, 7: 6}
+    got_parent = {r["id"]: r["parent"] for r in parents.collect()}
+    assert got_parent[0] == 0
+    assert got_parent[1] == 0 and got_parent[3] == 0
+    # node 4 reachable from 1 and 3 at depth 2 -> min parent 1
+    assert got_parent[4] == 1
+    assert got_parent[5] == 4 and got_parent[6] == 5
+    assert got_parent[2] == 6 and got_parent[7] == 2
+
+
+def test_bellman_ford_golden(spark):
+    g = build(df_from_edges(spark, SSSP_EDGES), is_directed=True)
+    parents, dists = bellman_ford(g, 0)
+    assert {r["id"]: r["parent"] for r in parents.collect()} == {
+        0: 0, 3: 0, 1: 3, 4: 3, 5: 4, 6: 5, 2: 6, 7: 2
+    }
+    assert {r["id"]: r["dist"] for r in dists.collect()} == {
+        0: 0, 3: 1, 1: 8, 4: 9, 5: 18, 6: 28, 2: 39, 7: 45
+    }
+
+
+def test_dijkstra_golden_and_negative_check(spark):
+    g = build(df_from_edges(spark, SSSP_EDGES), is_directed=True)
+    parents, dists = dijkstra(g, 0)
+    assert {r["id"]: r["dist"] for r in dists.collect()} == {
+        0: 0, 3: 1, 1: 8, 4: 9, 5: 18, 6: 28, 2: 39, 7: 45
+    }
+    neg = build(df_from_edges(spark, [(0, 1, -2.0)]), is_directed=True)
+    with pytest.raises(GraphPropertyError):
+        dijkstra(neg, 0)
+
+
+def test_bellman_ford_negative_cycle(spark):
+    g = build(
+        df_from_edges(spark, [(0, 1, 1.0), (1, 2, -5.0), (2, 0, 1.0)]),
+        is_directed=True,
+    )
+    with pytest.raises(ConvergenceError):
+        bellman_ford(g, 0)
+
+
+def canon(rows):
+    return sorted((min(r["src"], r["dst"]), max(r["src"], r["dst"]), r["weight"])
+                  for r in rows)
+
+
+def test_mst_golden(spark):
+    # test_traversal.py:347-390
+    g = build(df_from_edges(spark, SSSP_EDGES), is_directed=False)
+    mst = minimum_spanning_tree(g)
+    expected = [
+        (0, 3, 1), (0, 1, 2), (1, 4, 3), (4, 2, 4), (2, 5, 5), (2, 7, 6), (5, 6, 10),
+    ]
+    assert canon(mst.edges.collect()) == canon(
+        [{"src": s, "dst": d, "weight": float(w)} for s, d, w in expected]
+    )
+
+
+def test_mst_disconnected_golden(spark):
+    # test_traversal.py:392-432
+    edges = [
+        (0, 3, 1), (1, 0, 2), (1, 4, 3), (2, 5, 5), (2, 7, 6),
+        (3, 1, 7), (3, 4, 8), (5, 6, 10), (6, 2, 11),
+    ]
+    g = build(df_from_edges(spark, edges), is_directed=False)
+    mst = minimum_spanning_tree(g)
+    expected = [
+        (0, 3, 1), (0, 1, 2), (1, 4, 3), (2, 5, 5), (2, 7, 6), (5, 6, 10),
+    ]
+    assert canon(mst.edges.collect()) == canon(
+        [{"src": s, "dst": d, "weight": float(w)} for s, d, w in expected]
+    )
