@@ -1,0 +1,322 @@
+"""Deduplication over a documents table ``(doc_id: long, text: string)``.
+
+Five public-recipe strategies, each returning DataFrames a pipeline can act
+on (duplicate groups or candidate pairs):
+
+- ``exact_duplicates``: hash-groupBy on normalized text. One shuffle, fully
+  JVM-side; the canonical keeper is the min doc_id per group.
+- ``ngram_jaccard_pairs``: exact n-gram (shingle) Jaccard via
+  explode → pair-join → count ratio. Exact but quadratic per shared
+  shingle — the small/verification path.
+- ``minhash_lsh_pairs``: MinHash signatures (k permutations, affine hashes
+  over crc32 shingle keys — crc32 chosen because Spark's ``F.crc32`` and
+  Python's ``zlib.crc32`` agree bit-for-bit, giving an exact cross-engine
+  test oracle) + LSH banding → candidate pairs with estimated Jaccard.
+  Scale path: signatures are one shuffle-free projection; banding is one
+  groupBy; the candidate join touches only colliding buckets.
+- ``simhash_64``: 64-bit SimHash over token crc32s in a vectorized pandas
+  UDF (numpy bit matrix per Arrow batch); hamming-distance pairs via
+  band-rotation blocking.
+- ``embedding_near_duplicates`` lives in similarity.py (cosine top-k).
+
+All hash seeds are explicit so every run, every engine, and every test
+oracle agrees.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from metagraph_spark.functions.text import tokenize
+
+# Mersenne prime 2^31-1: affine MinHash permutations h_i(x) = (a_i·(x mod P) +
+# b_i) mod P. P is kept at 31 bits so a·x stays < 2^62 — no int64 overflow in
+# either Spark or the numpy oracle.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case normalization):
+    ``(group_key: long, doc_id: long, keep: boolean)`` — ``keep`` marks the
+    min doc_id canonical representative. Docs with no duplicate are
+    excluded."""
+    keyed = docs.select(
+        F.xxhash64(normalized_text(F.col(text_col))).alias("group_key"),
+        F.col("doc_id"),
+    )
+    w_min = (
+        keyed.groupBy("group_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("_keeper"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        keyed.join(w_min, "group_key")
+        .select(
+            "group_key",
+            "doc_id",
+            (F.col("doc_id") == F.col("_keeper")).alias("keep"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined), distinct."""
+    toks = tokenize(normalized_text(text))
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-Jaccard duplicate pairs ``(doc_a, doc_b, jaccard)``
+    with doc_a < doc_b and jaccard ≥ threshold. Plan: explode shingles →
+    self-join on shingle → count intersections → ratio vs sizes."""
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "szb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation parameters (a odd, b) — the same
+    sequence any oracle implementation regenerates from the seed."""
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, _MERSENNE_P, size=num_hashes).astype(np.int64) | 1).tolist()
+    b = rng.randint(0, _MERSENNE_P, size=num_hashes).astype(np.int64).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, sig: array<long>)`` MinHash signatures.
+
+    Shingle keys are ``crc32(shingle)`` (JVM ``F.crc32``, oracle
+    ``zlib.crc32``); each signature slot is ``min_x (a_i·x + b_i) mod P``
+    computed entirely with array expressions — no shuffle, no Python."""
+    a, b = minhash_params(num_hashes, seed)
+    sh = shingles(F.col(text_col), shingle_n)
+    keys = F.transform(sh, lambda s: F.crc32(s.cast("binary")))
+    def slot(ai: int, bi: int):
+        # NB: single-arg lambda — F.transform treats two-arg lambdas as
+        # (element, index)
+        return F.array_min(
+            F.transform(
+                keys,
+                lambda x: ((x % F.lit(_MERSENNE_P)) * F.lit(ai) + F.lit(bi))
+                % F.lit(_MERSENNE_P),
+            )
+        )
+
+    sig = F.array(*[slot(a[i], b[i]) for i in range(num_hashes)])
+    return docs.select(F.col("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate candidate pairs ``(doc_a, doc_b, est_jaccard)`` via
+    LSH banding (rows = num_hashes/bands per band); pairs sharing ≥1 band
+    bucket are scored by signature agreement and filtered at ``threshold``.
+
+    Scale behavior: buckets are a groupBy on (band, bucket_hash); only
+    colliding docs join. Hub buckets (boilerplate) can skew — cap with a
+    count filter when needed."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, seed, text_col)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "_sa", "_sb", lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda z: z == 1,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est
+
+
+def simhash_64(
+    docs: DataFrame, text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    """``(doc_id, simhash: long)`` — 64-bit SimHash over token hashes.
+
+    Token hashes: two crc32s (seeded salt) concatenated to 64 bits, computed
+    JVM-side; the bit-vote fold runs in a vectorized pandas UDF (numpy
+    unpack → sign sum → pack), Arrow-batched — no per-row Python at the
+    DataFrame surface."""
+    toks = tokenize(normalized_text(F.col(text_col)))
+    h64 = F.transform(
+        toks,
+        lambda t: F.shiftleft(F.crc32(t.cast("binary")), 32).bitwiseOR(
+            F.crc32(F.concat(F.lit(str(seed)), t).cast("binary"))
+        ),
+    )
+    with_h = docs.select(F.col("doc_id"), h64.alias("hs"))
+
+    @F.pandas_udf(T.LongType())
+    def fold(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                out[i] = 0
+                continue
+            v = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = np.where(bits > 0, 1, -1).sum(axis=0)
+            sh = np.uint64(0)
+            for bit, vote in enumerate(votes):
+                if vote > 0:
+                    sh |= np.uint64(1) << np.uint64(bit)
+            out[i] = sh.astype(np.int64)
+        return pd.Series(out)
+
+    return with_h.select("doc_id", fold("hs").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    seed: int = 42,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs ``(doc_a, doc_b, hamming)`` with hamming ≤ max_hamming.
+
+    Blocking: split the 64-bit simhash into ``blocks`` contiguous byte
+    blocks — any pair within hamming ≤ blocks-1 shares at least one exact
+    block (pigeonhole), so candidates = equi-join per block."""
+    sh = simhash_64(docs, text_col, seed).persist()
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_rows = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        (
+                            F.shiftrightunsigned("simhash", i * width)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.blk", "bk.key")
+    a, b = block_rows.alias("a"), block_rows.alias("b")
+    cand = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("_ha"),
+            F.col("b.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

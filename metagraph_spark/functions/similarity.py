@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column ``(vec_id: long,
+embedding: array<float>)``.
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors for a set of query
+  vectors — cross-join + JVM dot product (``F.zip_with``/``F.aggregate``)
+  + windowed top-k. The correctness baseline.
+- ``cosine_all_pairs_topk``: exact per-row top-k within one table (near-dup
+  detection by embedding); same plan, self-join.
+- ``lsh_topk``: the scale path — random-hyperplane LSH (sign bits of dot
+  products with seeded Gaussian vectors, computed in one vectorized pandas
+  UDF matmul per Arrow batch) buckets vectors; candidates = bucket
+  collisions across ``num_tables`` independent tables; exact cosine rerank
+  on candidates only. Tunable recall; candidates shrink the join from
+  O(N·Q) to colliding pairs.
+- ``embedding_near_duplicates``: all-pairs cosine ≥ threshold via LSH
+  candidates (or brute force for small N).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``_unit`` (L2-normalized vector) and drop zero vectors."""
+    n = _norm(F.col(vec_col))
+    return df.filter(n > 0).withColumn(
+        "_unit", F.transform(F.col(vec_col), lambda x: x / n)
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact ``(query_id, neighbor_id, cosine, rank)`` top-k. Broadcast the
+    smaller side (queries) — the corpus streams once."""
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cu")
+    )
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("_cu"), F.col("_qu")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_all_pairs_topk(
+    df: DataFrame, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    return cosine_topk_bruteforce(df, df, k, vec_col, id_col)
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1000 * table)
+    return rng.standard_normal((dim, bits)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, bits: int, table: int, seed: int):
+    planes = _hyperplanes(dim, bits, table, seed)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        signs = (m @ planes) > 0
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets (num_tables independent
+    tables) → candidates from bucket collisions → exact cosine rerank."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cu")
+    ).persist()
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
+    ).persist()
+    cand = None
+    for t in range(num_tables):
+        bu = lsh_bucket_udf(dim, bits, t, seed)
+        cb = c.select("neighbor_id", bu(F.col("_cu")).alias("bucket"))
+        qb = q.select("query_id", bu(F.col("_qu")).alias("bucket"))
+        pairs = cb.join(qb, "bucket").select("query_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.distinct().filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id", "neighbor_id", _dot(F.col("_cu"), F.col("_qu")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return out
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_lsh: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Pairs ``(id_a, id_b, cosine)`` with cosine ≥ threshold, id_a < id_b."""
+    if use_lsh:
+        topk = lsh_topk(df, df, k=50, vec_col=vec_col, id_col=id_col, **lsh_kwargs)
+    else:
+        topk = cosine_all_pairs_topk(df, k=50, vec_col=vec_col, id_col=id_col)
+    return (
+        topk.filter(
+            (F.col("cosine") >= threshold)
+            & (F.col("query_id") < F.col("neighbor_id"))
+        )
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )

@@ -1,0 +1,197 @@
+"""Training-data pipeline function tests: dedup / similarity / text /
+multimodal. Oracles: pure Python (zlib.crc32 MinHash replica), DuckDB
+(list_cosine_similarity), numpy brute force.
+"""
+
+import math
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metagraph_spark.functions import dedup, similarity, text
+from metagraph_spark.functions.multimodal import (
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "The  quick brown fox jumps over the lazy dog"),  # exact dup of 0 (norm)
+    (3, "completely different text about spark engines and shuffles"),
+    (4, "el rapido zorro marron salta sobre el perro perezoso y la casa es"),
+    (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs_df):
+    groups = dedup.exact_duplicates(docs_df).collect()
+    ids = {r["doc_id"] for r in groups}
+    assert ids == {0, 2, 5}
+    keepers = {r["doc_id"] for r in groups if r["keep"]}
+    assert keepers == {0}
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    # oracle: python shingle jaccard
+    def sh(t):
+        toks = " ".join(t.lower().split()).split(" ")
+        return set(" ".join(toks[i:i+3]) for i in range(max(len(toks)-2, 1)))
+    expected = {}
+    for i, ta in DOCS:
+        for j, tb in DOCS:
+            if i < j:
+                a, b = sh(ta), sh(tb)
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.5:
+                    expected[(i, j)] = jac
+    assert set(got) == set(expected)
+    for k in expected:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-12)
+
+
+def python_minhash(text_str, num_hashes, n=3, seed=42):
+    """Oracle replica: same crc32 keys, same affine permutations."""
+    a, b = dedup.minhash_params(num_hashes, seed)
+    toks = " ".join(text_str.lower().split()).split(" ")
+    if len(toks) >= n:
+        shs = set(" ".join(toks[i:i+n]) for i in range(len(toks) - n + 1))
+    else:
+        shs = {" ".join(toks)}
+    keys = [zlib.crc32(s.encode()) for s in shs]
+    P = dedup._MERSENNE_P
+    return [min(((x % P) * a[i] + b[i]) % P for x in keys) for i in range(num_hashes)]
+
+
+def test_minhash_signature_matches_python_oracle(spark, docs_df):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            dedup.minhash_signatures(docs_df, num_hashes=32).collect()}
+    for doc_id, t in DOCS:
+        assert sigs[doc_id] == python_minhash(t, 32), doc_id
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_df, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact dups must always collide with estimate 1.0
+    assert (0, 2) in got and (0, 5) in got and (2, 5) in got
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 5)] == 1.0
+    # near-dup 0-1 (one word differs) should be found at 0.5
+    assert (0, 1) in got
+
+
+def test_simhash(spark, docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_64(docs_df).collect()}
+    # normalized-identical docs -> identical simhash
+    assert sh[0] == sh[2] == sh[5]
+    # near-identical docs -> small hamming
+    ham = bin((sh[0] ^ sh[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+    # unrelated docs -> larger hamming than near-dups
+    ham_far = bin((sh[0] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > ham
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=16).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 2) in got and (0, 5) in got
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    sub = emb_df.limit(120)
+    got = similarity.cosine_topk_bruteforce(sub, sub.limit(10), k=5)
+    rows = got.collect()
+    pdf = sub.toPandas()
+    m = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    sims = m @ m.T
+    for qpos in range(10):
+        qid = ids[qpos]
+        order = sorted(
+            [(float(sims[qpos, j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        expected = [nid for _, nid in order]
+        got_n = [r["neighbor_id"] for r in sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got_n == expected, qid
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    sub = emb_df.limit(300)
+    queries = sub.limit(20)
+    exact = similarity.cosine_topk_bruteforce(sub, queries, k=10).collect()
+    # testdata embeddings are near-random (top-10 cosine ~0.27): collision
+    # prob per bit ~0.59, so keep bands short and tables many
+    approx = similarity.lsh_topk(
+        sub, queries, k=10, bits=4, num_tables=16
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_text_functions(spark, docs_df):
+    out = docs_df.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ntok"),
+        text.punct_ratio(F.col("text")).alias("punct"),
+        text.stopword_ratio(F.col("text")).alias("sw"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.language_id(F.col("text")).alias("lang"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["ntok"] == 9
+    assert by_id[0]["sw"] == pytest.approx(2 / 9)  # two "the"
+    assert by_id[0]["lang"] == "en"
+    assert by_id[4]["lang"] == "es"
+    assert by_id[0]["fp"] == by_id[2]["fp"] == by_id[5]["fp"]
+    assert 0.0 <= by_id[0]["q"] <= 1.0
+    # quality: repetitive junk scores below normal prose
+    junk = spark.createDataFrame([(9, "spam " * 50)], "doc_id long, text string")
+    junk_q = junk.select(text.quality_score(F.col("text")).alias("q")).collect()[0]["q"]
+    assert junk_q < by_id[3]["q"]
+
+
+def test_multimodal_pipeline(spark):
+    media = synthesize_media(spark, 20, kind="video")
+    feats = extract_features(media, feature_dim=32, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["feature"]) == 32 for r in rows)
+    # deterministic
+    again = extract_features(media, feature_dim=32, fake=True).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    frames = sample_frames(media, frame_dim=16, fake=True)
+    n_frames = media.select(F.sum("meta.n_frames")).collect()[0][0]
+    assert frames.count() == n_frames
+    # stub path: real decode raises cleanly
+    with pytest.raises(Exception) as ei:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
