@@ -1,0 +1,134 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Headline metric (BASELINE.json north rule): edges/sec per superstep to
+PageRank convergence (1e-6) on the transcript-derived edge graph — reported
+in the JSON as ``edges_per_sec_per_superstep`` alongside per-query wall
+times. The scaling-efficiency evidence (same job at local[8] vs local[32])
+is produced by ``tools/scaling_bench.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from metagraph_spark.functions import dedup as mdedup  # noqa: E402
+from metagraph_spark.functions import similarity as msim  # noqa: E402
+from metagraph_spark.graph import build  # noqa: E402
+from metagraph_spark.ingest import synthesize_transcripts, transcript_graph  # noqa: E402
+from metagraph_spark.operators.components import connected_components  # noqa: E402
+from metagraph_spark.operators.lpa import label_propagation_community  # noqa: E402
+from metagraph_spark.operators.pagerank import pagerank  # noqa: E402
+from metagraph_spark.operators.triangles import triangle_count  # noqa: E402
+from metagraph_spark.session import get_spark  # noqa: E402
+from metagraph_spark.sources.io import read_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# transcript graph scale ~ sf: sf0.1 -> 200k convs (~800k turns)
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))
+
+
+def copurchase_graph(spark, sf_dir):
+    lp = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return build(edges, is_directed=False)
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- transcript-derived graph: the north-rule headline -----------------
+    # conv↔tool bipartite graph: |E| scales with conversations, tool side is
+    # Zipf-skewed (hub vertices) — the representative 10^12-turn workload
+    t = synthesize_transcripts(spark, N_CONVS)
+    g_t, _labels = transcript_graph(t, "conv_tool_bipartite")
+    g_t = g_t.partition_by_src()
+    n_edges_t = g_t.num_edges()
+    metrics: list[dict] = []
+    t0 = time.time()
+    ranks = pagerank(g_t, maxiter=100, tolerance=1e-6, metrics_sink=metrics)
+    ranks.count()
+    pr_time = time.time() - t0
+    supersteps = len(metrics)
+    timings["transcript_pagerank_1e6"] = round(pr_time, 3)
+    extras["transcript_edges"] = n_edges_t
+    extras["pagerank_supersteps"] = supersteps
+    eps = n_edges_t * supersteps / pr_time
+    extras["edges_per_sec_per_superstep"] = round(eps, 1)
+
+    timed("transcript_cc", lambda: connected_components(g_t).count())
+    g_t.unpersist()
+
+    # ---- co-purchase graph ------------------------------------------------
+    g_c = timed("copurchase_build", lambda: copurchase_graph(spark, SF_DIR).partition_by_src())
+    extras["copurchase_edges"] = g_c.num_edges()
+    timed("copurchase_pagerank_1e6",
+          lambda: pagerank(g_c, maxiter=100, tolerance=1e-6).count())
+    timed("copurchase_cc", lambda: connected_components(g_c).count())
+    timed("copurchase_lpa_10r",
+          lambda: label_propagation_community(g_c, fixed_rounds=10).count())
+    timed("copurchase_triangles", lambda: triangle_count(g_c))
+    g_c.unpersist()
+
+    # ---- pipeline ops -----------------------------------------------------
+    docs = read_table(spark, SF_DIR, "documents")
+    timed("dedup_minhash_lsh",
+          lambda: mdedup.minhash_lsh_pairs(docs, 64, 16, threshold=0.7).count())
+    timed("dedup_simhash",
+          lambda: mdedup.simhash_pairs(docs, max_hamming=3).count())
+    emb = read_table(spark, SF_DIR, "embeddings")
+    timed("ann_bruteforce_topk",
+          lambda: msim.cosine_topk_bruteforce(
+              emb, emb.filter(F.col("vec_id") < 50), k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall time of headline queries; "
+                "extras.edges_per_sec_per_superstep = north-rule throughput "
+                "(PageRank to 1e-6 on the transcript-derived edge graph)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "extras": extras,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -192,14 +192,32 @@ def tool_cooccurrence_edges(
     )
 
 
+def conv_tool_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed weighted edges conv-node → tool-node (the conv_id/tool
+    bipartite graph from the north rule). Unlike the aggregated actor
+    graphs, this edge table SCALES with the number of conversations
+    (|E| ≈ convs × distinct tools per conv) and its tool side is
+    Zipf-skewed — the hub-vertex case the skew handling exists for."""
+    ct = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return ct.select(
+        node_id(F.col("conv_id"), "conv").alias(SRC),
+        node_id(F.col("tool"), "actor").alias(DST),
+        "weight",
+    )
+
+
 def transcript_graph(
     transcripts: DataFrame,
     kind: str = "turn_adjacency",
 ) -> tuple[Graph, DataFrame]:
     """Build ``(Graph, node_labels)`` from a transcript table.
 
-    ``kind``: ``turn_adjacency`` (directed) or ``tool_cooccurrence``
-    (undirected)."""
+    ``kind``: ``turn_adjacency`` (directed), ``tool_cooccurrence``
+    (undirected), or ``conv_tool_bipartite`` (directed, scales with input)."""
     labels = node_labels(transcripts)
     if kind == "turn_adjacency":
         edges = turn_adjacency_edges(transcripts)
@@ -207,6 +225,17 @@ def transcript_graph(
     elif kind == "tool_cooccurrence":
         edges = tool_cooccurrence_edges(transcripts)
         g = Graph(edges=edges, is_directed=False)
+    elif kind == "conv_tool_bipartite":
+        edges = conv_tool_edges(transcripts)
+        conv_labels = transcripts.select(
+            F.col("conv_id").alias("label")
+        ).distinct().select(
+            node_id(F.col("label"), "conv").alias("id"),
+            "label",
+            F.lit(NODE_KIND_CONV).alias("kind"),
+        )
+        labels = labels.unionAll(conv_labels)
+        g = Graph(edges=edges, is_directed=True)
     else:
         raise ValueError(f"unknown edge kind: {kind}")
     return g, labels

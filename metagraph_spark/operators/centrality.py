@@ -61,7 +61,7 @@ def katz_centrality(
     tolerance: float = 1e-05,
 ) -> DataFrame:
     """Returns ``(id, katz)``."""
-    edges = _weighted_edges(graph)
+    edges = _weighted_edges(graph).persist()
     n = graph.num_nodes()
     nodes = graph.node_ids()
     alpha, beta = attenuation_factor, immediate_neighbor_weight
@@ -92,7 +92,9 @@ def katz_centrality(
         if err < n * tolerance:
             s2 = x.agg(F.sum(F.col("v") * F.col("v"))).collect()[0][0]
             norm = 1.0 / math.sqrt(s2) if s2 > 0 else 1.0
+            edges.unpersist()
             return x.select(ID, (F.col("v") * F.lit(norm)).alias("katz"))
+    edges.unpersist()
     raise ConvergenceError(f"katz failed to converge in {maxiter} iterations")
 
 
@@ -100,7 +102,7 @@ def eigenvector_centrality(
     graph: Graph, maxiter: int = 50, tolerance: float = 1e-05
 ) -> DataFrame:
     """Returns ``(id, eigenvector)``."""
-    edges = _weighted_edges(graph)
+    edges = _weighted_edges(graph).persist()
     n = graph.num_nodes()
     nodes = graph.node_ids()
     x = truncate_lineage(nodes.select(ID, F.lit(1.0 / n).alias("v")))
@@ -126,7 +128,9 @@ def eigenvector_centrality(
         x.unpersist()
         x = new_x
         if err < n * tolerance:
+            edges.unpersist()
             return x.withColumnRenamed("v", "eigenvector")
+    edges.unpersist()
     raise ConvergenceError(
         f"eigenvector failed to converge in {maxiter} iterations"
     )
@@ -212,6 +216,7 @@ def _multi_source_distances(
         edges = edges.select(
             F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT
         )
+    edges = edges.persist()
     state = truncate_lineage(
         sources.select(
             F.col(ID).alias("root"), F.col(ID), F.lit(0.0).alias("dist")
@@ -248,7 +253,9 @@ def _multi_source_distances(
         state.unpersist()
         state = merged
         if improved == 0:
+            edges.unpersist()
             return state
+    edges.unpersist()
     raise ConvergenceError("multi-source relaxation did not converge")
 
 

@@ -105,9 +105,12 @@ def connected_components(
     (matches nx ``connected_components`` requiring undirected,
     ``plugins/networkx/algorithms.py:61-67``)."""
     spark = graph.edges.sparkSession
-    # always symmetrize: CC is over the undirected underlying graph
+    # always symmetrize: CC is over the undirected underlying graph; persist
+    # once — every round reuses the edge table
     e = graph.edges.select(SRC, DST)
-    sym = e.unionAll(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    sym = e.unionAll(
+        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    ).persist()
 
     start_round = 0
     labels = None
@@ -120,15 +123,18 @@ def connected_components(
         labels = truncate_lineage(
             graph.node_ids().select(ID, F.col(ID).alias("label"))
         )
-    return _min_label_fixpoint(
-        spark,
-        sym,
-        labels,
-        max_rounds,
-        fixed_rounds=fixed_rounds,
-        checkpointer=checkpointer,
-        start_round=start_round,
-    )
+    try:
+        return _min_label_fixpoint(
+            spark,
+            sym,
+            labels,
+            max_rounds,
+            fixed_rounds=fixed_rounds,
+            checkpointer=checkpointer,
+            start_round=start_round,
+        )
+    finally:
+        sym.unpersist()
 
 
 def strongly_connected_components(

@@ -53,10 +53,10 @@ def label_propagation_community(
         edges=graph.canonical_undirected_edges().select(SRC, DST),
         is_directed=False,
     ).symmetrized()
-    # self-loops implement the one-self-vote rule
+    # self-loops implement the one-self-vote rule; persist once for the loop
     sym = sym.unionAll(
         graph.node_ids().select(F.col(ID).alias(SRC), F.col(ID).alias(DST))
-    )
+    ).persist()
 
     start_round = 0
     labels = None
@@ -102,4 +102,5 @@ def label_propagation_community(
         rnd += 1
         if fixed_rounds is None and changed == 0:
             break
+    sym.unpersist()
     return labels

@@ -58,9 +58,12 @@ def pagerank(
     (optional list) receives one dict per superstep for benchmarking.
     """
     spark = graph.edges.sparkSession
-    edges = graph.symmetrized().select(SRC, DST)
+    # persist the (symmetrized) edge table once — every superstep reuses it;
+    # without this the whole upstream derivation re-executes per iteration
+    edges = graph.symmetrized().select(SRC, DST).persist()
     n = graph.num_nodes()
     if n == 0:
+        edges.unpersist()
         return spark.createDataFrame([], "id long, rank double")
 
     out_deg = edges.groupBy(F.col(SRC).alias(ID)).agg(
@@ -144,8 +147,10 @@ def pagerank(
         it += 1
         if fixed_iterations is None and err < n * tolerance:
             deg.unpersist()
+            edges.unpersist()
             return ranks
     deg.unpersist()
+    edges.unpersist()
     if fixed_iterations is not None:
         return ranks
     raise ConvergenceError(

@@ -41,7 +41,7 @@ def bfs_tree(
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(depths, parents)``: NodeMaps ``(id, depth)`` and
     ``(id, parent)`` over reachable nodes; source's parent is itself."""
-    edges = graph.symmetrized().select(SRC, DST)
+    edges = graph.symmetrized().select(SRC, DST).persist()
     if depth_limit < 0:
         depth_limit = 2_000_000_000
     visited = truncate_lineage(
@@ -66,6 +66,7 @@ def bfs_tree(
             break
         visited = truncate_lineage(visited.unionAll(nxt))
         frontier = nxt.select(ID)
+    edges.unpersist()
     return visited.select(ID, "depth"), visited.select(ID, "parent")
 
 
@@ -92,7 +93,7 @@ def bellman_ford(
     (raises ConvergenceError, mirroring nx's NetworkXUnbounded surface)."""
     if not graph.is_weighted:
         raise GraphPropertyError("bellman_ford requires edge weights")
-    edges = graph.symmetrized().select(SRC, DST, WEIGHT)
+    edges = graph.symmetrized().select(SRC, DST, WEIGHT).persist()
     spark = graph.edges.sparkSession
     state = truncate_lineage(
         spark.createDataFrame(
@@ -130,7 +131,9 @@ def bellman_ford(
         state.unpersist()
         state = merged
         if improved == 0:
+            edges.unpersist()
             return state.select(ID, "parent"), state.select(ID, "dist")
+    edges.unpersist()
     raise ConvergenceError(
         "bellman_ford did not converge — negative cycle reachable from source"
     )
