@@ -34,6 +34,14 @@ from metagraph_spark.operators.components import (
     connected_components,
     strongly_connected_components,
 )
+from metagraph_spark.operators.centrality import (
+    betweenness_centrality,
+    closeness_centrality,
+    eigenvector_centrality,
+    hits_centrality,
+    katz_centrality,
+)
+from metagraph_spark.operators.kernel import pagerank_kernel
 from metagraph_spark.operators.lpa import label_propagation_community
 from metagraph_spark.operators.pagerank import pagerank
 from metagraph_spark.operators.subgraph import (
@@ -382,6 +390,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["bfs_depths"] = _bfs_depths_fixed
     q["bellman_ford_fixed"] = _bf_fixed
+    # CSR/Arrow kernel strategy must agree with the same unrolled SQL oracle
+    q["pagerank_kernel_fixed"] = lambda spark, sf: (
+        pagerank_kernel(
+            _copurchase_graph(spark, sf), DAMPING, fixed_iterations=PR_ITERS
+        )
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
 
     # -- iterative operators, run to convergence (rows-only checks)
     q["pagerank_converged"] = lambda spark, sf: (
@@ -409,6 +425,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ties_sample"] = lambda spark, sf: (
         totally_induced_edge_sampling(_copurchase_graph(spark, sf), 0.3)
         .edges.orderBy("src", "dst")
+    )
+    q["katz"] = lambda spark, sf: (
+        katz_centrality(
+            _copurchase_graph(spark, sf), attenuation_factor=1e-4, maxiter=100
+        )
+        .select("id", F.round("katz", 6).alias("katz"))
+        .orderBy("id")
+    )
+    q["eigenvector"] = lambda spark, sf: (
+        eigenvector_centrality(_copurchase_graph(spark, sf), maxiter=100)
+        .select("id", F.round("eigenvector", 6).alias("eigenvector"))
+        .orderBy("id")
+    )
+    q["hits"] = lambda spark, sf: (
+        hits_centrality(
+            build(_event_type_edges(spark, sf), is_directed=True), maxiter=100
+        )[1]
+        .select("id", F.round("authority", 6).alias("authority"))
+        .orderBy("id")
+    )
+    q["closeness_subset"] = lambda spark, sf: (
+        closeness_centrality(
+            g := _copurchase_graph(spark, sf),
+            g.node_ids().orderBy("id").limit(8),
+        )
+        .select("id", F.round("closeness", 6).alias("closeness"))
+        .orderBy("id")
+    )
+    q["betweenness_subset"] = lambda spark, sf: (
+        betweenness_centrality(
+            build(_event_type_edges(spark, sf), is_directed=True),
+            normalize=False,
+        )
+        .select("id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy("id")
     )
 
     # -- dedup / text / similarity pipeline
@@ -539,6 +590,7 @@ wed AS (SELECT sum(d * (d - 1) / 2.0) AS w FROM (
           SELECT count(*)::double AS d FROM sym GROUP BY src))
 SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "pagerank_fixed": _pagerank_sql(PR_ITERS),
+        "pagerank_kernel_fixed": _pagerank_sql(PR_ITERS),
         "connected_components_fixed": _cc_sql(CC_ROUNDS),
         "lpa_fixed": _lpa_sql(LPA_ROUNDS),
         "bfs_depths": _bfs_sql(BFS_DEPTH),

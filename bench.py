@@ -86,6 +86,24 @@ def main() -> None:
     eps = n_edges_t * supersteps / pr_time
     extras["edges_per_sec_per_superstep"] = round(eps, 1)
 
+    # CSR/Arrow kernel strategy on the same graph (file-backed blocks)
+    import tempfile
+
+    from metagraph_spark.operators.kernel import build_edge_blocks, pagerank_kernel
+
+    eb = build_edge_blocks(g_t, spill_dir=tempfile.mkdtemp(prefix="mgspark_blocks_"))
+    pagerank_kernel(eb, fixed_iterations=1)  # warm worker block caches
+    kmetrics: list = []
+    t0 = time.time()
+    pagerank_kernel(eb, maxiter=100, tolerance=1e-6, metrics_sink=kmetrics)
+    k_time = time.time() - t0
+    timings["transcript_pagerank_kernel_1e6"] = round(k_time, 3)
+    extras["kernel_supersteps"] = len(kmetrics)
+    extras["kernel_edges_per_sec_per_superstep"] = round(
+        n_edges_t * len(kmetrics) / k_time, 1
+    )
+    eb.unpersist()
+
     timed("transcript_cc", lambda: connected_components(g_t).count())
     g_t.unpersist()
 

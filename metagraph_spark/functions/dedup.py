@@ -140,25 +140,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(doc_id, sig: array<long>)`` MinHash signatures.
 
-    Shingle keys are ``crc32(shingle)`` (JVM ``F.crc32``, oracle
-    ``zlib.crc32``); each signature slot is ``min_x (a_i·x + b_i) mod P``
-    computed entirely with array expressions — no shuffle, no Python."""
-    a, b = minhash_params(num_hashes, seed)
+    Shingle keys are ``crc32(shingle)`` (JVM ``F.crc32``, bit-identical to
+    the ``zlib.crc32`` oracle); the k affine permutations + min-fold run in
+    ONE vectorized numpy pandas UDF per Arrow batch
+    (``min(((x mod P)\u00b7a_i + b_i) mod P)`` per slot). An earlier
+    all-Catalyst variant with k array-transform expressions compiled into a
+    pathological codegen unit; the numpy kernel is far faster and exactly
+    equal (int64 math, no overflow: (x mod P) < 2^31, a_i < 2^31)."""
+    a_list, b_list = minhash_params(num_hashes, seed)
+    a_np = np.array(a_list, dtype=np.int64)
+    b_np = np.array(b_list, dtype=np.int64)
+    p = _MERSENNE_P
+
     sh = shingles(F.col(text_col), shingle_n)
     keys = F.transform(sh, lambda s: F.crc32(s.cast("binary")))
-    def slot(ai: int, bi: int):
-        # NB: single-arg lambda — F.transform treats two-arg lambdas as
-        # (element, index)
-        return F.array_min(
-            F.transform(
-                keys,
-                lambda x: ((x % F.lit(_MERSENNE_P)) * F.lit(ai) + F.lit(bi))
-                % F.lit(_MERSENNE_P),
-            )
-        )
 
-    sig = F.array(*[slot(a[i], b[i]) for i in range(num_hashes)])
-    return docs.select(F.col("doc_id"), sig.alias("sig"))
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(key_arrays: pd.Series) -> pd.Series:
+        out = []
+        for keys_row in key_arrays:
+            x = np.asarray(keys_row, dtype=np.int64) % p
+            vals = (x[:, None] * a_np + b_np) % p
+            out.append(vals.min(axis=0))
+        return pd.Series(out)
+
+    return docs.select(F.col("doc_id"), sig_udf(keys).alias("sig"))
 
 
 def minhash_lsh_pairs(

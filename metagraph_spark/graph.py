@@ -142,11 +142,13 @@ class Graph:
             "spark.sql.shuffle.partitions"
         )
         e = self.edges.repartition(int(n), SRC).persist()
+        meta = dict(self.metadata)
+        meta["partitioned_by_src"] = int(n)
         return Graph(
             edges=e,
             nodes=self.nodes,
             is_directed=self.is_directed,
-            metadata=dict(self.metadata),
+            metadata=meta,
         )
 
     def unpersist(self) -> None:

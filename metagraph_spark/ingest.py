@@ -103,6 +103,31 @@ def synthesize_transcripts(
     )
 
 
+def zipf_graph(
+    spark: SparkSession,
+    num_nodes: int,
+    num_edges: int,
+    zipf_s: float = 1.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic directed Zipf-out-degree benchmark graph
+    (FIXTURES.md §2): edge i has ``src`` drawn by inverse-CDF Zipf(s) over
+    node ids (a few hubs dominate), ``dst`` uniform. Tail nodes never appear
+    as src → natural dangling vertices. Pure hash arithmetic over
+    ``spark.range`` — reproducible at any scale and partitioning."""
+    e = spark.range(num_edges)
+    h1 = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1_000_000))
+    u = (h1.cast("double") + 0.5) / 1_000_000.0
+    src = F.floor(
+        F.pow(F.lit(float(num_nodes)), F.pow(u, F.lit(zipf_s)))
+    ) % num_nodes
+    dst = F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(num_nodes))
+    return e.select(
+        src.cast("long").alias(SRC),
+        dst.cast("long").alias(DST),
+    )
+
+
 def node_id(label_col, kind: str):
     """Stable 64-bit node id for a string label, namespaced by kind.
 

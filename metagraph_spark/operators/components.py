@@ -31,7 +31,7 @@ belong to the SCC of that min node. Iterated on the residual graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from metagraph_spark.exceptions import ConvergenceError
@@ -73,6 +73,12 @@ def _min_label_fixpoint(
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
         )
+        # changed-count rides along with the materialization (observe):
+        # one job per round
+        obs = Observation(f"cc_round_{rnd}")
+        new_labels = new_labels.observe(
+            obs, F.count(F.when(F.col("_changed"), 1)).alias("changed")
+        )
         if checkpointer is not None:
             new_labels = checkpointer.save(
                 rnd,
@@ -81,7 +87,7 @@ def _min_label_fixpoint(
             )
         else:
             new_labels = truncate_lineage(new_labels)
-        changed = new_labels.filter(F.col("_changed")).count()
+        changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels.drop("_changed")
         rnd += 1

@@ -28,7 +28,7 @@ vertex-state-sized table; the edge table never moves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from metagraph_spark.graph import DST, ID, SRC, Graph
@@ -92,11 +92,15 @@ def label_propagation_community(
                 ),
             )
         )
+        obs = Observation(f"lpa_round_{rnd}")
+        new_labels = new_labels.observe(
+            obs, F.count(F.when(F.col("_changed"), 1)).alias("changed")
+        )
         if checkpointer is not None:
             new_labels = checkpointer.save(rnd, new_labels, {"algorithm": "lpa"})
         else:
             new_labels = truncate_lineage(new_labels)
-        changed = new_labels.filter("_changed").count()
+        changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels.drop("_changed")
         rnd += 1

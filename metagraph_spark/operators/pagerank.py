@@ -15,26 +15,35 @@ Semantics pinned by the reference implementations:
 - convergence: L1 error ``Σ|r'-r| < N·tolerance``
   (``plugins/graphblas/algorithms.py:66-67``; networkx uses the same rule).
 
-Spark plan per superstep (all JVM-side; no Python in the hot path):
+Physical design (what survives 1000 executors / 10^12 edges):
 
-1. ``contrib = ranks ⋈ deg`` (deg computed once, persisted) → ``edges ⋈
-   contrib on src → groupBy(dst).sum`` — map-side partial aggregation is
-   automatic; AQE splits skewed reduce partitions. The edge table is
-   hash-partitioned by src once; ranks is the only DataFrame that shuffles
-   per superstep.
-2. exactly TWO actions per superstep: (a) materialize the new rank state
-   (localCheckpoint or durable parquet checkpoint), (b) one combined
-   aggregate computing the L1 error AND the next iteration's dangling mass.
+- edges are hash-partitioned by ``src`` ONCE and persisted; the vertex state
+  ``(id, outdeg, dangling, rank, prev)`` is hash-partitioned by ``id`` with
+  the SAME partition count, so the contrib-side of the gather join and the
+  state⋈gather merge are both co-partitioned — exactly ONE shuffle per
+  superstep (the |E|-row contributions into groupBy(dst)), map-side partial
+  aggregation included.
+- carrying ``outdeg``/``dangling``/``prev`` in the state removes the per-
+  superstep joins against a degree table; L1 error + next dangling mass are
+  computed via ``DataFrame.observe`` DURING the state materialization —
+  exactly ONE Spark job per superstep, no extra pass over the state.
+- lineage is truncated every superstep (localCheckpoint, or durable parquet
+  checkpoints via CheckpointManager for resume-after-loss).
+- hub-vertex skew: partial aggregation collapses hot dst keys map-side; the
+  contrib join's hot src side is mitigated by AQE skew-join splitting
+  (enabled in session defaults).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from metagraph_spark.exceptions import ConvergenceError
 from metagraph_spark.graph import DST, ID, SRC, Graph
 from metagraph_spark.state import CheckpointManager, truncate_lineage
+
+_STATE_COLS = ("id", "outdeg", "dangling", "rank", "prev")
 
 
 def pagerank(
@@ -53,106 +62,116 @@ def pagerank(
     k). Otherwise iterates until ``Σ|r'-r| < N·tolerance`` and raises
     :class:`ConvergenceError` past ``maxiter``.
 
-    With a ``checkpointer``, rank state + metrics persist per superstep and a
+    With a ``checkpointer``, full vertex state persists per superstep and a
     re-run resumes from the newest complete iteration. ``metrics_sink``
-    (optional list) receives one dict per superstep for benchmarking.
-    """
+    (optional list) receives one dict per superstep."""
     spark = graph.edges.sparkSession
-    # persist the (symmetrized) edge table once — every superstep reuses it;
-    # without this the whole upstream derivation re-executes per iteration
-    edges = graph.symmetrized().select(SRC, DST).persist()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if graph.is_directed and graph.metadata.get("partitioned_by_src") == n_part:
+        # already laid out by Graph.partition_by_src — reuse as-is
+        edges = graph.edges.select(SRC, DST)
+        _edges_owned = False
+    else:
+        edges = (
+            graph.symmetrized().select(SRC, DST).repartition(n_part, SRC).persist()
+        )
+        _edges_owned = True
+
+    def _release() -> None:
+        if _edges_owned:
+            edges.unpersist()
+    nodes = graph.node_ids()
     n = graph.num_nodes()
     if n == 0:
-        edges.unpersist()
+        _release()
         return spark.createDataFrame([], "id long, rank double")
 
-    out_deg = edges.groupBy(F.col(SRC).alias(ID)).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    # deg covers every node; dangling nodes carry outdeg NULL → flag column
-    deg = (
-        graph.node_ids()
-        .join(out_deg, ID, "left")
-        .select(ID, "outdeg", F.col("outdeg").isNull().alias("dangling"))
-        .persist()
-    )
-    n_dangling = deg.filter("dangling").count()  # also materializes deg
-
     start_iter = 0
-    ranks = None
-    danglesum = None
+    state = None
     if checkpointer is not None:
         latest = checkpointer.latest()
         if latest is not None:
-            ranks = checkpointer.load(spark, latest)
+            state = checkpointer.load(spark, latest).repartition(n_part, ID)
+            state = truncate_lineage(state)
             start_iter = latest + 1
-    if ranks is None:
-        ranks = truncate_lineage(deg.select(ID, F.lit(1.0 / n).alias("rank")))
-        danglesum = n_dangling / n
-    else:
-        danglesum = (
-            ranks.join(deg.filter("dangling"), ID)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+    if state is None:
+        out_deg = edges.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count(F.lit(1)).alias("outdeg")
         )
+        state = (
+            nodes.join(out_deg, ID, "left")
+            .select(
+                ID,
+                "outdeg",
+                F.col("outdeg").isNull().alias("dangling"),
+                F.lit(1.0 / n).alias("rank"),
+                F.lit(None).cast("double").alias("prev"),
+            )
+            .repartition(n_part, ID)
+        )
+        state = truncate_lineage(state)
 
     base = (1.0 - damping) / n
     total_iters = fixed_iterations if fixed_iterations is not None else maxiter
     err = None
+    # dangling mass of the CURRENT state (scan-aggregate, no joins)
+    danglesum = state.agg(
+        F.coalesce(F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0))
+    ).collect()[0][0]
 
     it = start_iter
     while it < total_iters:
-        contrib = (
-            ranks.join(deg, ID)
-            .filter(~F.col("dangling"))
-            .select(F.col(ID).alias(SRC), (F.col("rank") / F.col("outdeg")).alias("c"))
+        contrib = state.filter(~F.col("dangling")).select(
+            F.col(ID).alias(SRC), (F.col("rank") / F.col("outdeg")).alias("c")
         )
-        gather = edges.join(contrib, SRC).groupBy(F.col(DST).alias(ID)).agg(
-            F.sum("c").alias("g")
+        gather = (
+            edges.join(contrib, SRC)
+            .groupBy(F.col(DST).alias(ID))
+            .agg(F.sum("c").alias("g"))
         )
-        new_ranks = (
-            deg.select(ID)
+        new_state = (
+            state.select(ID, "outdeg", "dangling", F.col("rank").alias("prev"))
             .join(gather, ID, "left")
             .select(
                 ID,
+                "outdeg",
+                "dangling",
                 (
                     F.lit(damping) * F.coalesce(F.col("g"), F.lit(0.0))
                     + F.lit(damping * danglesum / n + base)
                 ).alias("rank"),
+                "prev",
             )
+        )
+        # observation metrics ride along with the materialization action —
+        # no separate stats job
+        obs = Observation(f"pagerank_iter_{it}")
+        new_state = new_state.observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("err"),
+            F.coalesce(
+                F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("danglesum"),
         )
         if checkpointer is not None:
-            new_ranks = checkpointer.save(
-                it, new_ranks, {"algorithm": "pagerank", "n": n}
+            new_state = checkpointer.save(
+                it, new_state, {"algorithm": "pagerank", "n": n}
             )
         else:
-            new_ranks = truncate_lineage(new_ranks)
-        # one combined action: L1 error + next iteration's dangling mass
-        stats = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), ID)
-            .join(deg.select(ID, "dangling"), ID)
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("err"),
-                F.coalesce(
-                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
-                ).alias("danglesum"),
-            )
-            .collect()[0]
-        )
+            new_state = truncate_lineage(new_state)
+        stats = obs.get
         err, danglesum = stats["err"], stats["danglesum"]
         if metrics_sink is not None:
             metrics_sink.append({"iteration": it, "l1_error": err})
-        ranks.unpersist()
-        ranks = new_ranks
+        state.unpersist()
+        state = new_state
         it += 1
         if fixed_iterations is None and err < n * tolerance:
-            deg.unpersist()
-            edges.unpersist()
-            return ranks
-    deg.unpersist()
-    edges.unpersist()
+            _release()
+            return state.select(ID, "rank")
+    _release()
     if fixed_iterations is not None:
-        return ranks
+        return state.select(ID, "rank")
     raise ConvergenceError(
         f"pagerank failed to converge in {maxiter} iterations (err={err!r}, "
         f"threshold={n * tolerance!r})"

@@ -1,0 +1,135 @@
+"""Incremental transcript ingest via Structured Streaming.
+
+Pattern: ``readStream`` over the transcripts table directory →
+per-micro-batch edge-delta computation (the same deterministic builders as
+batch ingest) → ``foreachBatch`` merge into the canonical edge table.
+Turn-adjacency needs the per-conversation predecessor turn, which crosses
+micro-batch boundaries — handled with a watermark + self-contained lag
+within (conv_id) groups per batch plus a small carried state table of each
+conversation's last seen turn (idempotent upsert keyed on conv_id).
+
+Windowed per-tool activity counts are a plain watermarked streaming agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metagraph_spark.ingest import actor_label, node_id
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tool_activity_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked windowed counts per tool — late turns folded in until the
+    watermark passes."""
+    return (
+        stream.filter(F.col("tool").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "tool")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+def start_edge_maintenance(
+    stream: DataFrame,
+    edge_table_path: str,
+    state_table_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+):
+    """Maintain the turn-adjacency edge table incrementally.
+
+    Every micro-batch:
+    1. union the batch with each conversation's carried last-turn row,
+    2. window-lag within conv_id to form (prev_actor → actor) pairs,
+    3. append the pair deltas to ``edge_table_path`` (aggregate at read
+       time: weight = sum of deltas, so appends stay idempotent-friendly
+       and contention-free),
+    4. upsert the new last turn per conversation into ``state_table_path``.
+    """
+    from pyspark.sql import Window
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            carried = spark.read.parquet(state_table_path)
+        except Exception:  # first batch: no state yet
+            carried = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+        relevant_convs = batch.select("conv_id").distinct()
+        carried = carried.join(relevant_convs, "conv_id", "left_semi")
+        full = batch.unionByName(carried)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        t = actor_label(full)
+        pairs = (
+            t.withColumn("_prev", F.lag("_actor").over(w))
+            .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+            .filter(
+                F.col("_prev").isNotNull()
+                # only adjacencies with one endpoint in THIS batch (carried
+                # rows only provide context, their old adjacencies already
+                # counted)
+                & (F.col("turn_idx") > F.coalesce(F.col("_prev_idx"), F.lit(-1)))
+            )
+            .join(batch.select("conv_id", "turn_idx").distinct(),
+                  ["conv_id", "turn_idx"], "left_semi")
+            .select(
+                node_id(F.col("_prev"), "actor").alias("src"),
+                node_id(F.col("_actor"), "actor").alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("double").alias("weight_delta"))
+            .withColumn("epoch", F.lit(epoch_id))
+        )
+        pairs.write.mode("append").parquet(edge_table_path)
+        # new carried state: max turn per conversation seen so far
+        w_last = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+        new_state = (
+            full.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            other = spark.read.parquet(state_table_path).join(
+                relevant_convs, "conv_id", "left_anti"
+            )
+            new_state = new_state.unionByName(other)
+        except Exception:
+            pass
+        new_state.write.mode("overwrite").parquet(state_table_path + "_next")
+        # atomic-ish swap via overwrite of the canonical path
+        spark.read.parquet(state_table_path + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_table_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+
+
+def current_edges(spark: SparkSession, edge_table_path: str) -> DataFrame:
+    """Aggregate the append-only deltas into the canonical edge view."""
+    return (
+        spark.read.parquet(edge_table_path)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight_delta").alias("weight"))
+    )
