@@ -30,6 +30,7 @@ from metagraph_spark.functions import similarity as msim
 from metagraph_spark.functions import text as mtext
 from metagraph_spark.graph import Graph, build
 from metagraph_spark.operators import utility as mutil
+from metagraph_spark.operators.community import louvain_community, modularity
 from metagraph_spark.operators.components import (
     connected_components,
     strongly_connected_components,
@@ -178,7 +179,7 @@ def _cc_sql(rounds: int) -> str:
     )
 
 
-def _lpa_sql(rounds: int) -> str:
+def _lpa_ctes(rounds: int) -> str:
     ctes = [
         _SQL_COPURCHASE.strip().rstrip(","),
         "l0 AS (SELECT id, id AS label FROM nodes)",
@@ -196,9 +197,31 @@ l{k + 1} AS (
                               ORDER BY cnt DESC, label ASC) AS rn
     FROM v{k + 1}) WHERE rn = 1)"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _lpa_sql(rounds: int) -> str:
+    return _lpa_ctes(rounds) + f"\nSELECT id, label FROM l{rounds} ORDER BY id"
+
+
+def _modularity_sql(rounds: int) -> str:
+    """Weighted Newman modularity of the fixed-round LPA partition."""
     return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, label FROM l{rounds} ORDER BY id"
+        _lpa_ctes(rounds)
+        + f"""
+, lab AS (SELECT id, label FROM l{rounds}),
+ew AS (SELECT e.weight, ls.label AS lsrc, ld.label AS ldst
+       FROM e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id),
+mm AS (SELECT sum(weight)::double AS m FROM e),
+ein AS (SELECT lsrc AS label, sum(weight) AS win FROM ew
+        WHERE lsrc = ldst GROUP BY 1),
+degc AS (SELECT label, sum(w) AS dc FROM (
+    SELECT lsrc AS label, weight AS w FROM ew
+    UNION ALL SELECT ldst AS label, weight AS w FROM ew) GROUP BY 1)
+SELECT round(sum(coalesce(win, 0) / (SELECT m FROM mm)
+             - dc * dc / (4 * (SELECT m FROM mm) * (SELECT m FROM mm))), 6)
+       AS modularity
+FROM degc LEFT JOIN ein USING (label)"""
     )
 
 
@@ -388,6 +411,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _copurchase_graph(spark, sf), fixed_rounds=LPA_ROUNDS
         ).orderBy("id")
     )
+
+    def _modularity_fixed_lpa(spark, sf):
+        g = _copurchase_graph(spark, sf)
+        labels = label_propagation_community(g, fixed_rounds=LPA_ROUNDS)
+        return spark.createDataFrame(
+            [(round(modularity(g, labels), 6),)], "modularity double"
+        )
+
+    q["modularity_fixed_lpa"] = _modularity_fixed_lpa
+
+    def _louvain(spark, sf):
+        labels, qv = louvain_community(_copurchase_graph(spark, sf))
+        return labels.orderBy("id")
+
+    q["louvain_step"] = _louvain
     q["bfs_depths"] = _bfs_depths_fixed
     q["bellman_ford_fixed"] = _bf_fixed
     # CSR/Arrow kernel strategy must agree with the same unrolled SQL oracle
@@ -593,6 +631,7 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "pagerank_kernel_fixed": _pagerank_sql(PR_ITERS),
         "connected_components_fixed": _cc_sql(CC_ROUNDS),
         "lpa_fixed": _lpa_sql(LPA_ROUNDS),
+        "modularity_fixed_lpa": _modularity_sql(LPA_ROUNDS),
         "bfs_depths": _bfs_sql(BFS_DEPTH),
         "bellman_ford_fixed": _bellman_ford_sql(BF_ROUNDS),
         "dedup_exact_counts": r"""

@@ -162,7 +162,40 @@ def build_edge_blocks(
     # unpersist (not destroy): the cached blocks' lineage references the
     # broadcast; a cache-miss recomputation must be able to re-fetch it
     bc_ids.unpersist()
-    return EdgeBlocks(blocks, node_ids, out_deg, manifest=manifest)
+    eb = EdgeBlocks(blocks, node_ids, out_deg, manifest=manifest)
+    if spill_dir is not None:
+        _save_metadata(eb, spill_dir)
+    return eb
+
+
+def _save_metadata(eb: EdgeBlocks, spill_dir: str) -> None:
+    import json
+    import os
+
+    np.save(os.path.join(spill_dir, "node_ids.npy"), eb.node_ids)
+    np.save(os.path.join(spill_dir, "out_deg.npy"), eb.out_deg)
+    rows = [(r["path"], int(r["dst_lo"])) for r in eb.manifest.collect()]
+    with open(os.path.join(spill_dir, "manifest.json"), "w") as f:
+        json.dump(rows, f)
+
+
+def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
+    """Reopen file-backed blocks written by ``build_edge_blocks(...,
+    spill_dir=...)`` — layout cost is paid once and shared across sessions
+    (the scaling bench builds once and measures supersteps at several
+    parallelism levels on the same blocks)."""
+    import json
+    import os
+
+    node_ids = np.load(os.path.join(spill_dir, "node_ids.npy"))
+    out_deg = np.load(os.path.join(spill_dir, "out_deg.npy"))
+    with open(os.path.join(spill_dir, "manifest.json")) as f:
+        rows = json.load(f)
+    manifest = spark.createDataFrame(rows, "path string, dst_lo long").repartition(
+        len(rows)
+    ).persist()
+    manifest.count()
+    return EdgeBlocks(None, node_ids, out_deg, manifest=manifest)
 
 
 def pagerank_kernel(

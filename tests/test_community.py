@@ -1,0 +1,59 @@
+"""Louvain-step / modularity / bipartite projection tests.
+
+Louvain contract from the reference (test_clustering.py:150-183): all nodes
+labeled, modularity > 0.45 on the golden graph. Modularity oracle: networkx
+(the reference's own backend family).
+"""
+
+import math
+
+import networkx as nx
+
+from metagraph_spark.graph import build
+from metagraph_spark.operators.community import (
+    graph_projection,
+    louvain_community,
+    modularity,
+)
+from tests.conftest import df_from_edges
+
+LOUVAIN_EDGES = [
+    (0, 3, 1), (1, 0, 2), (1, 4, 3), (2, 5, 5), (2, 7, 6),
+    (3, 1, 7), (3, 4, 8), (5, 6, 10), (6, 2, 11),
+]
+
+
+def test_louvain_step_golden(spark):
+    g = build(df_from_edges(spark, LOUVAIN_EDGES), is_directed=False)
+    labels, q = louvain_community(g)
+    assert labels.count() == 8
+    assert q > 0.45
+
+
+def test_modularity_matches_networkx(spark):
+    g = build(df_from_edges(spark, LOUVAIN_EDGES), is_directed=False)
+    labels_df = spark.createDataFrame(
+        [(0, 1), (1, 1), (3, 1), (4, 1), (2, 2), (5, 2), (6, 2), (7, 2)],
+        "id long, label long",
+    )
+    got = modularity(g, labels_df)
+    nxg = nx.Graph()
+    nxg.add_weighted_edges_from(LOUVAIN_EDGES)
+    expected = nx.community.modularity(
+        nxg, [{0, 1, 3, 4}, {2, 5, 6, 7}], weight="weight"
+    )
+    assert math.isclose(got, expected, rel_tol=1e-12), (got, expected)
+
+
+def test_graph_projection(spark):
+    # bipartite: convs {10,11} -> tools {1,2,3}
+    edges = [(10, 1), (10, 2), (11, 2), (11, 3)]
+    bip = spark.createDataFrame(edges, "src long, dst long")
+    # retain tool side (dst): tools sharing a conv
+    proj = graph_projection(bip, nodes_retained=1)
+    got = {(r["src"], r["dst"]): r["weight"] for r in proj.edges.collect()}
+    assert got == {(1, 2): 1.0, (2, 3): 1.0}
+    # retain conv side: convs sharing a tool
+    proj0 = graph_projection(bip, nodes_retained=0)
+    got0 = {(r["src"], r["dst"]): r["weight"] for r in proj0.edges.collect()}
+    assert got0 == {(10, 11): 1.0}

@@ -31,19 +31,42 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = (4, 16)
 
-WORKER = r"""
-import json, sys, tempfile, time
+BUILDER = r"""
+import json, sys, time
 sys.path.insert(0, {repo!r})
 from metagraph_spark.session import get_spark
 from metagraph_spark.ingest import zipf_graph
 from metagraph_spark.graph import build
-from metagraph_spark.operators.kernel import build_edge_blocks, pagerank_kernel
+from metagraph_spark.operators.kernel import build_edge_blocks
+
+v, e, nb, spill = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+spark = get_spark("scaling_build", master="local[16]", shuffle_partitions=32)
+g = build(zipf_graph(spark, v, e), is_directed=True)
+build_edge_blocks(g, num_blocks=nb, spill_dir=spill)
+print(json.dumps({{"built": spill}}))
+spark.stop()
+"""
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from metagraph_spark.session import get_spark
+from metagraph_spark.operators.kernel import load_edge_blocks, pagerank_kernel
 
 cpus, v, e, iters = (int(a) for a in sys.argv[1:5])
+spill = sys.argv[5]
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 2)
-g = build(zipf_graph(spark, v, e), is_directed=True)
-eb = build_edge_blocks(g, num_blocks=cpus * 2, spill_dir=tempfile.mkdtemp())
-pagerank_kernel(eb, fixed_iterations=2)   # warm block caches + codegen
+eb = load_edge_blocks(spark, spill)
+# warm until every python worker's block cache is complete (steady state):
+# measured superstep time stops improving
+prev = float("inf")
+for _ in range(8):
+    t0 = time.time()
+    pagerank_kernel(eb, fixed_iterations=1)
+    cur = time.time() - t0
+    if cur > prev * 0.9:
+        break
+    prev = cur
 t0 = time.time()
 pagerank_kernel(eb, fixed_iterations=iters)
 dt = time.time() - t0
@@ -54,10 +77,21 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, v: int, e: int, iters: int) -> dict:
+def build_blocks(v: int, e: int, nb: int, spill: str) -> None:
+    script = BUILDER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(v), str(e), str(nb), spill],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if "built" not in out.stdout:
+        raise RuntimeError(f"builder failed: {out.stderr[-2000:]}")
+
+
+def run_level(cpus: int, v: int, e: int, iters: int, spill: str) -> dict:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(v), str(e), str(iters)],
+        [sys.executable, "-c", script, str(cpus), str(v), str(e), str(iters),
+         spill],
         capture_output=True, text=True, timeout=3600,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -67,15 +101,27 @@ def run_level(cpus: int, v: int, e: int, iters: int) -> dict:
 
 
 def main() -> None:
+    import tempfile
+
     v = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     e = int(sys.argv[2]) if len(sys.argv) > 2 else 64_000_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    spill = os.environ.get("SPARK_GRAFT_SCALING_SPILL") or tempfile.mkdtemp(
+        prefix="mgspark_scaling_"
+    )
+    # layout built ONCE (at full parallelism) and shared by every level —
+    # the experiment measures superstep throughput, not layout cost
+    if not os.path.exists(os.path.join(spill, "manifest.json")):
+        print(f"building blocks -> {spill} ...", flush=True)
+        build_blocks(v, e, max(LEVELS) * 2, spill)
+    else:
+        print(f"reusing blocks in {spill}", flush=True)
     results: dict[int, dict] = {}
     for trial in range(trials):
         for cpus in LEVELS:
             print(f"trial {trial} local[{cpus}] ...", flush=True)
-            r = run_level(cpus, v, e, iters)
+            r = run_level(cpus, v, e, iters, spill)
             print(r, flush=True)
             best = results.get(cpus)
             if best is None or r["edges_per_sec_per_superstep"] > best[
