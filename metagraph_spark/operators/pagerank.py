@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from metagraph_spark.exceptions import ConvergenceError
 from metagraph_spark.graph import DST, ID, SRC, Graph
-from metagraph_spark.state import CheckpointManager, truncate_lineage
+from metagraph_spark.state import CheckpointManager, LineageManager, truncate_lineage
 
 _STATE_COLS = ("id", "outdeg", "dangling", "rank", "prev")
 
@@ -114,6 +114,7 @@ def pagerank(
     base = (1.0 - damping) / n
     total_iters = fixed_iterations if fixed_iterations is not None else maxiter
     err = None
+    lineage = LineageManager()
     # dangling mass of the CURRENT state (scan-aggregate, no joins)
     danglesum = state.agg(
         F.coalesce(F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0))
@@ -158,7 +159,7 @@ def pagerank(
                 it, new_state, {"algorithm": "pagerank", "n": n}
             )
         else:
-            new_state = truncate_lineage(new_state)
+            new_state = lineage.materialize(new_state)
         stats = obs.get
         err, danglesum = stats["err"], stats["danglesum"]
         if metrics_sink is not None:

@@ -87,3 +87,27 @@ class CheckpointManager:
 def truncate_lineage(df: DataFrame) -> DataFrame:
     """Break lineage without durability (localCheckpoint, eager)."""
     return df.localCheckpoint(eager=True)
+
+
+class LineageManager:
+    """Per-iteration state materializer for superstep loops.
+
+    ``localCheckpoint`` cuts lineage but ERASES outputPartitioning, forcing
+    an extra vertex-state Exchange every superstep (observed in the
+    physical plan). ``persist`` keeps partitioning (the cached subtree is
+    replaced by an InMemoryRelation leaf at planning time) but lets the
+    logical plan grow per iteration. This manager persists every iteration
+    and localCheckpoints every ``checkpoint_every``-th — co-partitioned
+    joins stay shuffle-free while plan growth stays bounded."""
+
+    def __init__(self, checkpoint_every: int = 8):
+        self.checkpoint_every = checkpoint_every
+        self._i = 0
+
+    def materialize(self, df: DataFrame) -> DataFrame:
+        self._i += 1
+        if self._i % self.checkpoint_every == 0:
+            return df.localCheckpoint(eager=True)
+        df = df.persist()
+        df.count()
+        return df
