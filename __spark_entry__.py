@@ -289,6 +289,253 @@ def _bf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dists.select("id", F.round("dist", 6).alias("dist")).orderBy("id")
 
 
+# ----------------------------------------------------- cross-engine hashing
+_P31 = 2147483647
+
+
+def _mix31_sql(x: str, seed: int) -> str:
+    """DuckDB twin of ``operators.subgraph.mix31`` (bit-identical)."""
+    h1 = f"((({x}) % {_P31}) * 2654435761 + {seed}) % {_P31}"
+    h2 = f"(xor(({h1}), ({h1}) >> 15) * 1597334677) % {_P31}"
+    return f"xor(({h2}), ({h2}) >> 13)"
+
+
+def _bernoulli31_sql(key: str, p: float, seed: int, salt: int) -> str:
+    h = _mix31_sql(key, seed + salt)
+    return f"((({h}) % 1000000) + 0.5) / 1000000.0 < {p}"
+
+
+# ----------------------------------------------- more unrolled graph oracles
+KATZ_ITERS = 8
+EIG_ITERS = 8
+HITS_ITERS = 8
+CLOSENESS_UNROLL = 8  # fixpoint at sf0.01 is 4 rounds; margin 2x
+KCORE_UNROLL = 3  # fixpoint at sf0.01 is 1 round
+CC_CONV_UNROLL = 8  # fixpoint at sf0.01 is 3 rounds
+MIS_UNROLL = 10  # Luby finishes in 6 rounds at sf0.01; extras are no-ops
+MIS_SEED = 42
+TIES_P = 0.3
+TIES_SEED = 42
+
+
+def _katz_sql(iters: int, alpha: float, beta: float) -> str:
+    """Unrolled weighted Katz on the symmetrized co-purchase graph:
+    x0=0; x' = α·(Σ_in w·x) + β; final L2 normalization."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "x0 AS (SELECT id, 0.0::double AS v FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""x{k + 1} AS (
+  SELECT nodes.id, {alpha} * coalesce(t.g, 0) + {beta} AS v
+  FROM nodes LEFT JOIN (
+    SELECT sym.dst AS id, sum(sym.weight * x{k}.v) AS g
+    FROM sym JOIN x{k} ON sym.src = x{k}.id GROUP BY 1) t
+  ON nodes.id = t.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(v / sqrt((SELECT sum(v * v) FROM x{iters})), 6) AS katz
+FROM x{iters} ORDER BY id"""
+    )
+
+
+def _eig_sql(iters: int) -> str:
+    """Unrolled eigenvector: y0=1/n; z = y + Σ_in w·y; y' = z/‖z‖₂."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "nn AS (SELECT count(*)::double AS c FROM nodes)",
+        "y0 AS (SELECT id, 1.0/(SELECT c FROM nn) AS v FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""z{k + 1} AS (
+  SELECT nodes.id, y{k}.v + coalesce(t.g, 0) AS v
+  FROM nodes JOIN y{k} ON nodes.id = y{k}.id LEFT JOIN (
+    SELECT sym.dst AS id, sum(sym.weight * y{k}.v) AS g
+    FROM sym JOIN y{k} ON sym.src = y{k}.id GROUP BY 1) t
+  ON nodes.id = t.id),
+y{k + 1} AS (
+  SELECT id, v / sqrt((SELECT sum(v * v) FROM z{k + 1})) AS v FROM z{k + 1})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(v, 6) AS eigenvector FROM y{iters} ORDER BY id"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS on the directed event-type graph; outputs authorities
+    (max-normalized per iteration, sum-normalized at the end)."""
+    ctes = [
+        _SQL_EVENT_TYPE.strip().rstrip(","),
+        "nn AS (SELECT count(*)::double AS c FROM dnodes)",
+        "h0 AS (SELECT id, 1.0/(SELECT c FROM nn) AS v FROM dnodes)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""ar{k + 1} AS (
+  SELECT dnodes.id, coalesce(t.g, 0.0) AS v
+  FROM dnodes LEFT JOIN (
+    SELECT de.dst AS id, sum(de.weight * h{k}.v) AS g
+    FROM de JOIN h{k} ON de.src = h{k}.id GROUP BY 1) t
+  ON dnodes.id = t.id),
+an{k + 1} AS (
+  SELECT id, v / (CASE WHEN (SELECT max(v) FROM ar{k + 1}) IS NULL
+                        OR (SELECT max(v) FROM ar{k + 1}) = 0
+                  THEN 1.0 ELSE (SELECT max(v) FROM ar{k + 1}) END) AS v
+  FROM ar{k + 1}),
+hr{k + 1} AS (
+  SELECT dnodes.id, coalesce(t.g, 0.0) AS v
+  FROM dnodes LEFT JOIN (
+    SELECT de.src AS id, sum(de.weight * an{k + 1}.v) AS g
+    FROM de JOIN an{k + 1} ON de.dst = an{k + 1}.id GROUP BY 1) t
+  ON dnodes.id = t.id),
+h{k + 1} AS (
+  SELECT id, v / (CASE WHEN (SELECT max(v) FROM hr{k + 1}) IS NULL
+                        OR (SELECT max(v) FROM hr{k + 1}) = 0
+                  THEN 1.0 ELSE (SELECT max(v) FROM hr{k + 1}) END) AS v
+  FROM hr{k + 1})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(v / (SELECT sum(v) FROM an{iters}), 6) AS authority
+FROM an{iters} ORDER BY id"""
+    )
+
+
+def _closeness_sql(rounds: int, n_sources: int) -> str:
+    """Multi-source weighted relaxation to fixpoint (unrolled with margin)
+    over REVERSED symmetrized edges (= same edges: undirected), then the
+    wf-improved closeness formula."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "nn AS (SELECT count(*)::double AS c FROM nodes)",
+        f"srcs AS (SELECT id FROM nodes ORDER BY id LIMIT {n_sources})",
+        "t0 AS (SELECT id AS root, id, 0.0::double AS dist FROM srcs)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""t{k + 1} AS (
+  SELECT root, id, min(dist) AS dist FROM (
+    SELECT root, id, dist FROM t{k}
+    UNION ALL
+    SELECT t{k}.root, sym.dst AS id, t{k}.dist + sym.weight AS dist
+    FROM sym JOIN t{k} ON sym.src = t{k}.id) GROUP BY 1, 2)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+, agg AS (SELECT root, sum(dist) AS total, count(*) AS r
+          FROM t{rounds} GROUP BY 1)
+SELECT root AS id,
+       round(CASE WHEN r > 1 AND total > 0
+                  THEN (r - 1) * (r - 1)
+                       / (((SELECT c FROM nn) - 1) * total)
+                  ELSE 0.0 END, 6) AS closeness
+FROM agg ORDER BY id"""
+    )
+
+
+def _kcore_sql(k_deg: int, rounds: int) -> str:
+    """Unrolled degree-peel (fixpoint + margin); edges are already canonical
+    (src<dst) so degree = count over both endpoint roles."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "ke0 AS (SELECT src, dst, weight FROM e)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""kd{r} AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT src AS id FROM ke{r} UNION ALL SELECT dst FROM ke{r}) GROUP BY 1),
+ke{r + 1} AS (
+  SELECT src, dst, weight FROM ke{r}
+  WHERE src IN (SELECT id FROM kd{r} WHERE d >= {k_deg})
+    AND dst IN (SELECT id FROM kd{r} WHERE d >= {k_deg}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src, dst, weight FROM ke{rounds} ORDER BY src, dst"
+    )
+
+
+def _scc_sql() -> str:
+    """SCC labels via recursive transitive closure on the (tiny) event-type
+    graph: label(v) = min{u : v→*u and u→*v} ∪ {v} — identical to the
+    FW-BW peeling labels (min SCC member)."""
+    return (
+        "WITH RECURSIVE "
+        + _SQL_EVENT_TYPE.strip().rstrip(",")
+        + """
+, reach(a, b) AS (
+    SELECT src, dst FROM de
+    UNION
+    SELECT r.a, d.dst FROM reach r JOIN de d ON r.b = d.src),
+mutual AS (
+    SELECT r1.a AS v, r1.b AS u
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) AS label
+FROM dnodes n LEFT JOIN mutual m ON n.id = m.v
+GROUP BY n.id ORDER BY n.id"""
+    )
+
+
+def _mis_sql(rounds: int, seed: int) -> str:
+    """Unrolled Luby MIS with mix31 priorities — replays the Spark rounds
+    exactly (beaten = any neighbor with higher (priority, id))."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "rem0 AS (SELECT id FROM nodes)",
+        "sym0 AS (SELECT src, dst FROM sym)",
+    ]
+    for r in range(rounds):
+        prio = _mix31_sql("id", seed + r)
+        ctes.append(
+            f"""c{r} AS (SELECT id, {prio} AS p FROM rem{r}),
+b{r} AS (
+  SELECT DISTINCT s.src AS id
+  FROM sym{r} s JOIN c{r} cs ON s.src = cs.id JOIN c{r} cd ON s.dst = cd.id
+  WHERE cd.p > cs.p OR (cd.p = cs.p AND s.dst > s.src)),
+w{r} AS (SELECT id FROM c{r} WHERE id NOT IN (SELECT id FROM b{r})),
+nb{r} AS (SELECT DISTINCT s.dst AS id
+          FROM sym{r} s JOIN w{r} w ON s.src = w.id),
+rem{r + 1} AS (
+  SELECT id FROM rem{r}
+  WHERE id NOT IN (SELECT id FROM w{r})
+    AND id NOT IN (SELECT id FROM nb{r})),
+sym{r + 1} AS (
+  SELECT src, dst FROM sym{r}
+  WHERE src IN (SELECT id FROM rem{r + 1})
+    AND dst IN (SELECT id FROM rem{r + 1}))"""
+        )
+    union = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(rounds))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id FROM ({union}) ORDER BY id"
+    )
+
+
+def _ties_sql(p: float, seed: int) -> str:
+    """TIES sample: mix31-Bernoulli edge pick, then totally induced."""
+    key = f"((src % {_P31}) * 8191 + (dst % {_P31})) % {_P31}"
+    keep = _bernoulli31_sql(key, p, seed, 303)
+    return (
+        "WITH "
+        + _SQL_COPURCHASE.strip().rstrip(",")
+        + f"""
+, picked AS (SELECT src, dst FROM e WHERE {keep}),
+ns AS (SELECT DISTINCT id FROM (
+    SELECT src AS id FROM picked UNION ALL SELECT dst FROM picked))
+SELECT src, dst, weight FROM e
+WHERE src IN (SELECT id FROM ns) AND dst IN (SELECT id FROM ns)
+ORDER BY src, dst"""
+    )
+
+
 # ----------------------------------------------------------------- text sql
 _LANGS = list(mtext.STOPWORDS)
 

@@ -175,14 +175,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     text_col: str = "text",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs ``(doc_a, doc_b, est_jaccard)`` via
     LSH banding (rows = num_hashes/bands per band); pairs sharing ≥1 band
     bucket are scored by signature agreement and filtered at ``threshold``.
 
     Scale behavior: buckets are a groupBy on (band, bucket_hash); only
-    colliding docs join. Hub buckets (boilerplate) can skew — cap with a
-    count filter when needed."""
+    colliding docs join. Hot buckets (boilerplate text hashing to one
+    bucket) make the candidate self-join quadratic in bucket size — a
+    single 10^6-doc bucket is 10^12 candidate pairs. ``max_bucket_size``
+    caps that: buckets larger than the cap are DROPPED from candidate
+    generation (docs in them still pair through their other, smaller
+    bands). The exact-dedup path catches identical boilerplate anyway, so
+    the recall loss is confined to near-identical giant clusters. Set
+    ``max_bucket_size=None`` to disable (small/verification runs only)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, seed, text_col)
@@ -203,6 +210,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # hot-bucket cap: one aggregate over the banded rows, then an
+        # inner join keeps only rows in buckets under the cap. Broadcast is
+        # wrong here (bucket count ~ |docs|·bands); sort-merge is fine — it
+        # reuses the (band,bucket) shuffle the candidate join needs anyway.
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
@@ -288,7 +307,15 @@ def simhash_pairs(
 
     Blocking: split the 64-bit simhash into ``blocks`` contiguous byte
     blocks — any pair within hamming ≤ blocks-1 shares at least one exact
-    block (pigeonhole), so candidates = equi-join per block."""
+    block (pigeonhole), so candidates = equi-join per block. Recall is only
+    guaranteed for ``max_hamming <= blocks - 1``; larger values would
+    silently miss qualifying pairs, so they are rejected."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"simhash blocking guarantees recall only for max_hamming <= "
+            f"blocks-1 (got max_hamming={max_hamming}, blocks={blocks}); "
+            f"raise `blocks` to cover larger distances"
+        )
     sh = simhash_64(docs, text_col, seed).persist()
     width = 64 // blocks
     mask = (1 << width) - 1

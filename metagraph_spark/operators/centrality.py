@@ -22,15 +22,26 @@ pagerank):
   ``C(v) = ((r-1)/(n-1)) · ((r-1)/Σ_{u reachable to v} d(u,v))`` where r =
   #nodes that can reach v (v included). Physical plan: ONE multi-source
   Bellman-Ford relaxation with composite state (root, id, dist) — S·V state
-  rows; full closeness is inherently all-pairs, callers pass a NodeSet at
-  scale.
+  rows; full closeness is inherently all-pairs, callers MUST pass a NodeSet
+  at scale (guarded).
 - ``betweenness(Graph(edge_type=map), Optional[NodeSet], normalize=False)
   -> NodeMap`` (:7-12; nx :158-173 = Brandes subset): parallelized OVER
-  SOURCES — the edge list broadcasts to every task and an Arrow-batched
-  grouped kernel (applyInPandas over source batches) runs weighted Brandes
-  per source, summing dependency scores. Scales in #sources, requires the
-  adjacency to fit per-task (betweenness at 10^12 edges is out of scope for
-  any engine; the reference's is single-threaded networkx).
+  SOURCES — the adjacency is assembled in ONE Arrow pass into positional
+  numpy CSR arrays, broadcast to every task, and an Arrow-batched grouped
+  kernel (applyInPandas over source batches) runs weighted Brandes per
+  source, summing dependency scores. Scales in #sources, requires the
+  adjacency to fit per-task (guarded; exact betweenness at 10^12 edges is
+  out of scope for any engine — the reference's is single-threaded nx).
+
+Superstep discipline (matches operators/pagerank.py): vertex state carries
+``prev``; L1 error AND the normalization scalar ride the materialization
+action via ``DataFrame.observe`` — exactly ONE Spark job per superstep for
+katz/eigenvector (two for HITS: its two mat-vecs are data-dependent). For
+the normalized iterations (eigenvector, HITS) the state is kept
+UN-normalized and the known driver-side norm scalars are folded into the
+next superstep's column expressions as literals, so the error check lags
+one superstep (one extra cheap superstep at convergence, never an extra
+action per superstep).
 """
 
 from __future__ import annotations
@@ -38,12 +49,16 @@ from __future__ import annotations
 import math
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from metagraph_spark.exceptions import ConvergenceError, GraphPropertyError
 from metagraph_spark.graph import DST, ID, SRC, WEIGHT, Graph
-from metagraph_spark.state import truncate_lineage
+from metagraph_spark.state import LineageManager, truncate_lineage
+
+# full closeness/betweenness are all-pairs; refuse silent O(V^2)/driver blowup
+CLOSENESS_ALL_NODES_LIMIT = 100_000
+BETWEENNESS_MAX_EDGES = 50_000_000
 
 
 def _weighted_edges(graph: Graph) -> DataFrame:
@@ -59,77 +74,162 @@ def katz_centrality(
     immediate_neighbor_weight: float = 1.0,
     maxiter: int = 50,
     tolerance: float = 1e-05,
+    fixed_iterations: int | None = None,
 ) -> DataFrame:
-    """Returns ``(id, katz)``."""
-    edges = _weighted_edges(graph).persist()
+    """Returns ``(id, katz)``. One Spark job per superstep: the gather join
+    feeds a state materialization whose ``observe`` carries both the L1
+    error and ``Σv²`` (so the final L2 normalization needs no extra pass).
+
+    ``fixed_iterations`` runs exactly k supersteps with no convergence test
+    (oracle parity — the DuckDB side unrolls the same k updates)."""
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _weighted_edges(graph).repartition(n_part, SRC).persist()
     n = graph.num_nodes()
     nodes = graph.node_ids()
     alpha, beta = attenuation_factor, immediate_neighbor_weight
-    x = truncate_lineage(nodes.select(ID, F.lit(0.0).alias("v")))
-    for _ in range(maxiter):
+    state = truncate_lineage(
+        nodes.select(ID, F.lit(0.0).alias("v")).repartition(n_part, ID)
+    )
+    lineage = LineageManager()
+    total = fixed_iterations if fixed_iterations is not None else maxiter
+    sumsq = None
+    for it in range(total):
         gather = (
-            edges.join(x.select(F.col(ID).alias(SRC), "v"), SRC)
+            edges.join(state.select(F.col(ID).alias(SRC), "v"), SRC)
             .groupBy(F.col(DST).alias(ID))
             .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g"))
         )
-        new_x = (
-            nodes.join(gather, ID, "left")
+        new_state = (
+            state.select(ID, F.col("v").alias("prev"))
+            .join(gather, ID, "left")
             .select(
                 ID,
                 (
                     F.lit(alpha) * F.coalesce("g", F.lit(0.0)) + F.lit(beta)
                 ).alias("v"),
+                "prev",
             )
         )
-        new_x = truncate_lineage(new_x)
-        err = (
-            new_x.join(x.withColumnRenamed("v", "p"), ID)
-            .agg(F.sum(F.abs(F.col("v") - F.col("p"))))
-            .collect()[0][0]
+        obs = Observation(f"katz_iter_{it}")
+        new_state = new_state.observe(
+            obs,
+            F.sum(F.abs(F.col("v") - F.col("prev"))).alias("err"),
+            F.sum(F.col("v") * F.col("v")).alias("sumsq"),
         )
-        x.unpersist()
-        x = new_x
-        if err < n * tolerance:
-            s2 = x.agg(F.sum(F.col("v") * F.col("v"))).collect()[0][0]
-            norm = 1.0 / math.sqrt(s2) if s2 > 0 else 1.0
+        new_state = lineage.materialize(new_state.select(ID, "v"))
+        stats = obs.get
+        err, sumsq = stats["err"], stats["sumsq"]
+        state = new_state
+        if fixed_iterations is None and err < n * tolerance:
+            break
+    else:
+        if fixed_iterations is None:
+            lineage.release()
             edges.unpersist()
-            return x.select(ID, (F.col("v") * F.lit(norm)).alias("katz"))
+            raise ConvergenceError(
+                f"katz failed to converge in {maxiter} iterations"
+            )
+    norm = 1.0 / math.sqrt(sumsq) if sumsq and sumsq > 0 else 1.0
+    out = lineage.finalize(state).select(
+        ID, (F.col("v") * F.lit(norm)).alias("katz")
+    )
     edges.unpersist()
-    raise ConvergenceError(f"katz failed to converge in {maxiter} iterations")
+    return out
 
 
 def eigenvector_centrality(
-    graph: Graph, maxiter: int = 50, tolerance: float = 1e-05
+    graph: Graph,
+    maxiter: int = 50,
+    tolerance: float = 1e-05,
+    fixed_iterations: int | None = None,
 ) -> DataFrame:
-    """Returns ``(id, eigenvector)``."""
-    edges = _weighted_edges(graph).persist()
+    """Returns ``(id, eigenvector)``.
+
+    State is the UN-normalized ``x + Aᵀx`` accumulation; each superstep's
+    materialization observes ``Σz²`` (→ this iteration's L2 norm) and the
+    LAGGED error ``Σ|z/‖z‖ − z_prev/‖z_prev‖|`` using the two known norm
+    scalars as literals — one job per superstep, error one superstep late
+    (worst case one extra superstep past convergence, same fixpoint)."""
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _weighted_edges(graph).repartition(n_part, SRC).persist()
     n = graph.num_nodes()
     nodes = graph.node_ids()
-    x = truncate_lineage(nodes.select(ID, F.lit(1.0 / n).alias("v")))
-    for _ in range(maxiter):
+    # state columns: v = UN-normalized iteration-k value, pv = UN-normalized
+    # iteration-(k-1) value; normalized value = v / cur_norm (driver scalar)
+    state = truncate_lineage(
+        nodes.select(
+            ID, F.lit(1.0 / n).alias("v"), F.lit(1.0 / n).alias("pv")
+        ).repartition(n_part, ID)
+    )
+    lineage = LineageManager()
+    cur_norm = 1.0  # ‖state.v‖₂ (initial uniform vector has ‖x‖ folded in)
+    prev_norm = 1.0  # ‖state.pv‖₂
+    total = fixed_iterations if fixed_iterations is not None else maxiter + 1
+    for it in range(total):
+        # gather over NORMALIZED current values: v/cur_norm folded as literal
         gather = (
-            edges.join(x.select(F.col(ID).alias(SRC), "v"), SRC)
+            edges.join(
+                state.select(
+                    F.col(ID).alias(SRC),
+                    (F.col("v") / F.lit(cur_norm)).alias("nv"),
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias(ID))
-            .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g"))
+            .agg(F.sum(F.col("nv") * F.col(WEIGHT)).alias("g"))
         )
-        new_x = (
-            x.join(gather, ID, "left")
-            .select(ID, (F.col("v") + F.coalesce("g", F.lit(0.0))).alias("v"))
+        new_state = (
+            state.select(ID, F.col("v").alias("pv"))
+            .join(gather, ID, "left")
+            .select(
+                ID,
+                (
+                    F.col("pv") / F.lit(cur_norm)
+                    + F.coalesce("g", F.lit(0.0))
+                ).alias("v"),
+                "pv",
+            )
         )
-        new_x = truncate_lineage(new_x)
-        s2 = new_x.agg(F.sum(F.col("v") * F.col("v"))).collect()[0][0]
-        norm = math.sqrt(s2) if s2 > 0 else 1.0
-        new_x = truncate_lineage(new_x.select(ID, (F.col("v") / F.lit(norm)).alias("v")))
-        err = (
-            new_x.join(x.withColumnRenamed("v", "p"), ID)
-            .agg(F.sum(F.abs(F.col("v") - F.col("p"))))
-            .collect()[0][0]
+        obs = Observation(f"eig_iter_{it}")
+        # the observation rides the materialization: Σv² gives this
+        # iteration's L2 norm with no extra pass
+        new_state = new_state.observe(
+            obs, F.sum(F.col("v") * F.col("v")).alias("sumsq")
         )
-        x.unpersist()
-        x = new_x
-        if err < n * tolerance:
-            edges.unpersist()
-            return x.withColumnRenamed("v", "eigenvector")
+        new_state = lineage.materialize(new_state)
+        sumsq = obs.get["sumsq"]
+        new_norm = math.sqrt(sumsq) if sumsq and sumsq > 0 else 1.0
+        if fixed_iterations is None and it >= 1:
+            # L1 error needs BOTH norms, and new_norm only exists after the
+            # job — so it's a tiny scan of the just-cached vertex state
+            # (no joins, no recompute), not a second heavy superstep pass
+            err = (
+                new_state.agg(
+                    F.sum(
+                        F.abs(
+                            F.col("pv") / F.lit(cur_norm)
+                            - F.col("v") / F.lit(new_norm)
+                        )
+                    )
+                ).collect()[0][0]
+            )
+            if err is not None and err < n * tolerance:
+                out = lineage.finalize(new_state).select(
+                    ID, (F.col("v") / F.lit(new_norm)).alias("eigenvector")
+                )
+                edges.unpersist()
+                return out
+        prev_norm, cur_norm = cur_norm, new_norm
+        state = new_state
+    if fixed_iterations is not None:
+        out = lineage.finalize(state).select(
+            ID, (F.col("v") / F.lit(cur_norm)).alias("eigenvector")
+        )
+        edges.unpersist()
+        return out
+    lineage.release()
     edges.unpersist()
     raise ConvergenceError(
         f"eigenvector failed to converge in {maxiter} iterations"
@@ -141,63 +241,99 @@ def hits_centrality(
     maxiter: int = 50,
     tolerance: float = 1e-05,
     normalize: bool = True,
+    fixed_iterations: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns ``(hubs, authorities)`` NodeMaps ``(id, hubs)/(id, authority)``."""
+    """Returns ``(hubs, authorities)`` NodeMaps ``(id, hubs)/(id, authority)``.
+
+    Two Spark jobs per superstep — the algorithmic minimum, since
+    ``a = Aᵀh`` and ``h = A·a`` are data-dependent. Each materialization's
+    ``observe`` carries the max (for normalization, folded into the NEXT
+    expression as a literal) and the h-side L1 error vs the carried ``prev``
+    column (both sides' norms known by then — no separate stats jobs)."""
     if not graph.is_directed:
         raise GraphPropertyError("hits requires a directed graph")
-    edges = _weighted_edges(graph).persist()
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = _weighted_edges(graph).repartition(n_part, SRC).persist()
     n = graph.num_nodes()
-    nodes = graph.node_ids()
-    h = truncate_lineage(nodes.select(ID, F.lit(1.0 / n).alias("v")))
+    nodes = truncate_lineage(graph.node_ids().repartition(n_part, ID))
+    # h holds UN-normalized values; normalized = v / h_norm (driver scalar)
+    h = truncate_lineage(
+        nodes.select(ID, F.lit(1.0 / n).alias("v")).repartition(n_part, ID)
+    )
+    h_norm = 1.0
+    lin_a, lin_h = LineageManager(), LineageManager()
+    a = None
+    a_norm = 1.0
     err = None
-    for _ in range(maxiter):
+    total = fixed_iterations if fixed_iterations is not None else maxiter
+    converged = fixed_iterations is not None
+    for it in range(total):
         # authorities: gather hub scores along edges (src -> dst)
-        a = (
+        a_new = (
             nodes.join(
-                edges.join(h.select(F.col(ID).alias(SRC), "v"), SRC)
+                edges.join(
+                    h.select(
+                        F.col(ID).alias(SRC),
+                        (F.col("v") / F.lit(h_norm)).alias("nv"),
+                    ),
+                    SRC,
+                )
                 .groupBy(F.col(DST).alias(ID))
-                .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g")),
+                .agg(F.sum(F.col("nv") * F.col(WEIGHT)).alias("g")),
                 ID,
                 "left",
             )
             .select(ID, F.coalesce("g", F.lit(0.0)).alias("v"))
         )
-        a = truncate_lineage(a)
-        amax = a.agg(F.max("v")).collect()[0][0] or 1.0
-        a = truncate_lineage(a.select(ID, (F.col("v") / F.lit(amax)).alias("v")))
-        # hubs: gather authority scores along reversed edges
-        new_h = (
-            nodes.join(
-                edges.join(a.select(F.col(ID).alias(DST), "v"), DST)
+        obs_a = Observation(f"hits_a_{it}")
+        a_new = a_new.observe(obs_a, F.max("v").alias("amax"))
+        a = lin_a.materialize(a_new)
+        a_norm = obs_a.get["amax"] or 1.0
+        # hubs: gather authority scores along reversed edges; carry prev h
+        h_new = (
+            h.select(ID, (F.col("v") / F.lit(h_norm)).alias("prev"))
+            .join(
+                edges.join(
+                    a.select(
+                        F.col(ID).alias(DST),
+                        (F.col("v") / F.lit(a_norm)).alias("nv"),
+                    ),
+                    DST,
+                )
                 .groupBy(F.col(SRC).alias(ID))
-                .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g")),
+                .agg(F.sum(F.col("nv") * F.col(WEIGHT)).alias("g")),
                 ID,
                 "left",
             )
-            .select(ID, F.coalesce("g", F.lit(0.0)).alias("v"))
+            .select(ID, F.coalesce("g", F.lit(0.0)).alias("v"), "prev")
         )
-        new_h = truncate_lineage(new_h)
-        hmax = new_h.agg(F.max("v")).collect()[0][0] or 1.0
-        new_h = truncate_lineage(
-            new_h.select(ID, (F.col("v") / F.lit(hmax)).alias("v"))
-        )
-        err = (
-            new_h.join(h.withColumnRenamed("v", "p"), ID)
-            .agg(F.sum(F.abs(F.col("v") - F.col("p"))))
-            .collect()[0][0]
-        )
-        h.unpersist()
-        h = new_h
-        if err < tolerance:
+        obs_h = Observation(f"hits_h_{it}")
+        h_new = h_new.observe(obs_h, F.max("v").alias("hmax"))
+        h_next = lin_h.materialize(h_new)
+        hmax = obs_h.get["hmax"] or 1.0
+        if fixed_iterations is None:
+            # err over normalized h vs prev normalized h — hmax known now;
+            # one tiny agg over the cached state
+            err = h_next.agg(
+                F.sum(F.abs(F.col("v") / F.lit(hmax) - F.col("prev")))
+            ).collect()[0][0]
+        h, h_norm = h_next, hmax
+        if fixed_iterations is None and err is not None and err < tolerance:
+            converged = True
             break
-    else:
+    if not converged:
+        lin_a.release()
+        lin_h.release()
         edges.unpersist()
         raise ConvergenceError(f"hits failed to converge in {maxiter} iterations")
+    h = lin_h.finalize(h).select(ID, (F.col("v") / F.lit(h_norm)).alias("v"))
+    a = lin_a.finalize(a).select(ID, (F.col("v") / F.lit(a_norm)).alias("v"))
     if normalize:
         hs = h.agg(F.sum("v")).collect()[0][0] or 1.0
-        asum_df = a.agg(F.sum("v")).collect()[0][0] or 1.0
+        asum = a.agg(F.sum("v")).collect()[0][0] or 1.0
         h = h.select(ID, (F.col("v") / F.lit(hs)).alias("hubs"))
-        a = a.select(ID, (F.col("v") / F.lit(asum_df)).alias("authority"))
+        a = a.select(ID, (F.col("v") / F.lit(asum)).alias("authority"))
     else:
         h = h.withColumnRenamed("v", "hubs")
         a = a.withColumnRenamed("v", "authority")
@@ -259,16 +395,41 @@ def _multi_source_distances(
     raise ConvergenceError("multi-source relaxation did not converge")
 
 
-def closeness_centrality(
-    graph: Graph, nodes: Optional[DataFrame] = None
+def all_pairs_shortest_paths(
+    graph: Graph, sources: DataFrame
 ) -> DataFrame:
-    """Returns ``(id, closeness)`` for ``nodes`` (default: all nodes)."""
+    """``traversal.all_pairs_shortest_paths`` restricted to a bounded source
+    NodeSet (reference: scipy all-pairs dijkstra,
+    ``plugins/scipy/algorithms.py:32-49``; full all-pairs has O(V²) output —
+    this exposes the same distances for ``sources`` × reachable-nodes).
+
+    Returns ``(src, dst, dist)``; unreachable pairs are absent (the scipy
+    reference encodes them as +inf — callers outer-join if needed)."""
+    d = _multi_source_distances(graph, sources, reverse=False)
+    return d.select(
+        F.col("root").alias(SRC), F.col(ID).alias(DST), F.col("dist")
+    )
+
+
+def closeness_centrality(
+    graph: Graph,
+    nodes: Optional[DataFrame] = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Returns ``(id, closeness)`` for ``nodes`` (default: all nodes —
+    guarded, since state is S·V rows; pass a NodeSet subset at scale)."""
     if graph.has_negative_weights():
         raise GraphPropertyError("closeness requires non-negative weights")
     n = graph.num_nodes()
+    if nodes is None and n > CLOSENESS_ALL_NODES_LIMIT:
+        raise GraphPropertyError(
+            f"closeness over all {n} nodes needs O(V^2) relaxation state; "
+            f"pass an explicit NodeSet subset (limit "
+            f"{CLOSENESS_ALL_NODES_LIMIT})"
+        )
     targets = nodes.select(ID) if nodes is not None else graph.node_ids()
     # distances of paths u -> v for target v: relax on REVERSED edges from v
-    dists = _multi_source_distances(graph, targets, reverse=True)
+    dists = _multi_source_distances(graph, targets, reverse=True, max_rounds=max_rounds)
     agg = dists.groupBy("root").agg(
         F.sum("dist").alias("total"), F.count(F.lit(1)).alias("r")
     )
@@ -290,44 +451,63 @@ def betweenness_centrality(
     nodes: Optional[DataFrame] = None,
     normalize: bool = False,
     sources_per_batch: int = 16,
+    max_edges: int = BETWEENNESS_MAX_EDGES,
 ) -> DataFrame:
     """Brandes betweenness, parallelized over sources.
 
-    The edge list is broadcast (sc.broadcast of a numpy CSR built once on
-    the driver); sources are distributed ``sources_per_batch`` per Arrow
-    batch through ``applyInPandas``; each task runs weighted Brandes
-    (Dijkstra + dependency accumulation, pure numpy/heapq on the broadcast
-    CSR) for its sources and emits partial (id, score) rows which a final
-    groupBy sums. Matches nx ``betweenness_centrality_subset`` with
-    sources == targets == nodes (``plugins/networkx/algorithms.py:158-173``).
-    """
+    The positional CSR is assembled from ONE Arrow pass (``toArrow`` —
+    columnar transfer, no Row objects) into four numpy arrays which are
+    broadcast; sources are distributed ``sources_per_batch`` per Arrow batch
+    through ``applyInPandas``; each task runs weighted Brandes (Dijkstra +
+    dependency accumulation on the broadcast CSR) for its sources and emits
+    partial (id, score) rows which a final groupBy sums. Matches nx
+    ``betweenness_centrality_subset`` with sources == targets == nodes
+    (``plugins/networkx/algorithms.py:158-173``).
+
+    Exact betweenness is inherently all-pairs; the broadcast adjacency must
+    fit per-task, so graphs beyond ``max_edges`` symmetrized edges are
+    refused with a clear error instead of OOMing the driver."""
     import numpy as np
     import pandas as pd
 
     spark = graph.edges.sparkSession
-    all_nodes = [r[0] for r in graph.node_ids().collect()]
-    idx = {v: i for i, v in enumerate(all_nodes)}
-    nv = len(all_nodes)
-    e_rows = _weighted_edges(graph).collect()
-    # CSR over positional indices
-    adj_heads: list[list[int]] = [[] for _ in range(nv)]
-    adj_w: list[list[float]] = [[] for _ in range(nv)]
-    for r in e_rows:
-        adj_heads[idx[r[SRC]]].append(idx[r[DST]])
-        adj_w[idx[r[SRC]]].append(float(r[WEIGHT]))
+    wedges = _weighted_edges(graph)
+    m = wedges.count()
+    if m > max_edges:
+        raise GraphPropertyError(
+            f"betweenness needs the adjacency broadcast per task; graph has "
+            f"{m} (symmetrized) edges > max_edges={max_edges}. Exact "
+            f"betweenness is all-pairs — sample sources/nodes or use an "
+            f"approximation at this scale."
+        )
+    # single Arrow pass each: columnar to numpy, no Python Row objects
+    nodes_tbl = graph.node_ids().toArrow()
+    node_arr = np.sort(nodes_tbl.column(ID).to_numpy())
+    nv = int(node_arr.shape[0])
+    e_tbl = wedges.toArrow()
+    src_pos = np.searchsorted(node_arr, e_tbl.column(SRC).to_numpy())
+    dst_pos = np.searchsorted(node_arr, e_tbl.column(DST).to_numpy())
+    w_arr = e_tbl.column(WEIGHT).to_numpy().astype(np.float64)
+    order = np.argsort(src_pos, kind="stable")
+    indices = dst_pos[order]
+    weights = w_arr[order]
+    indptr = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src_pos, minlength=nv), out=indptr[1:])
+
     if nodes is not None:
-        srcs = [idx[r[0]] for r in nodes.select(ID).collect()]
-        targets = set(srcs)
+        src_ids = nodes.select(ID).toArrow().column(ID).to_numpy()
+        srcs = np.searchsorted(node_arr, np.sort(src_ids))
+        tmask = np.zeros(nv, dtype=bool)
+        tmask[srcs] = True
     else:
-        srcs = list(range(nv))
-        targets = set(srcs)
-    bc_adj = spark.sparkContext.broadcast((adj_heads, adj_w, nv, targets))
-    node_arr = np.array(all_nodes, dtype=np.int64)
+        srcs = np.arange(nv)
+        tmask = np.ones(nv, dtype=bool)
+    bc_adj = spark.sparkContext.broadcast((indptr, indices, weights, nv, tmask))
 
     def brandes_batch(pdf: pd.DataFrame):
         import heapq
 
-        heads, ws, nvv, tgts = bc_adj.value
+        iptr, idx, ws, nvv, tgts = bc_adj.value
         score = np.zeros(nvv)
         for s in pdf["s"].to_numpy():
             s = int(s)
@@ -345,8 +525,9 @@ def betweenness_centrality(
                     continue
                 done[u] = True
                 seen_order.append(u)
-                for v, w in zip(heads[u], ws[u]):
-                    nd = d + w
+                for j in range(iptr[u], iptr[u + 1]):
+                    v = int(idx[j])
+                    nd = d + ws[j]
                     if nd < dist[v] - 1e-15:
                         dist[v] = nd
                         sigma[v] = sigma[u]
@@ -357,7 +538,7 @@ def betweenness_centrality(
                         preds[v].append(u)
             delta = np.zeros(nvv)
             for w_ in reversed(seen_order):
-                coeff = (1.0 + delta[w_]) if (w_ in tgts and w_ != s) else delta[w_]
+                coeff = (1.0 + delta[w_]) if (tgts[w_] and w_ != s) else delta[w_]
                 for u in preds[w_]:
                     delta[u] += sigma[u] / sigma[w_] * coeff
             delta[s] = 0.0
@@ -365,7 +546,8 @@ def betweenness_centrality(
         return pd.DataFrame({"id": node_arr, "partial": score})
 
     src_df = spark.createDataFrame(
-        [(int(s), int(s) // sources_per_batch) for s in srcs], "s long, grp long"
+        [(int(s), int(i) // sources_per_batch) for i, s in enumerate(srcs)],
+        "s long, grp long",
     )
     partials = src_df.groupBy("grp").applyInPandas(
         brandes_batch, schema="id long, partial double"

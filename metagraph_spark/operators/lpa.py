@@ -63,7 +63,11 @@ def label_propagation_community(
     if checkpointer is not None:
         latest = checkpointer.latest()
         if latest is not None:
+            # saved state carries the loop's _changed marker column; the
+            # public NodeMap surface is (id, label) only (as in components.py)
             labels = checkpointer.load(spark, latest)
+            if "_changed" in labels.columns:
+                labels = labels.drop("_changed")
             start_round = latest + 1
     if labels is None:
         labels = truncate_lineage(

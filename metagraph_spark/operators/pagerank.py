@@ -18,11 +18,13 @@ Semantics pinned by the reference implementations:
 Physical design (what survives 1000 executors / 10^12 edges):
 
 - edges are hash-partitioned by ``src`` ONCE and persisted; the vertex state
-  ``(id, outdeg, dangling, rank, prev)`` is hash-partitioned by ``id`` with
-  the SAME partition count, so the contrib-side of the gather join and the
-  state⋈gather merge are both co-partitioned — exactly ONE shuffle per
-  superstep (the |E|-row contributions into groupBy(dst)), map-side partial
-  aggregation included.
+  ``(id, outdeg, dangling, rank, prev)`` is hash-partitioned by ``id``. The
+  dominant shuffle per superstep is the |E|-row contributions into
+  groupBy(dst) (map-side partial aggregation included); the per-superstep
+  localCheckpoint (see ``state.LineageManager``) re-introduces one |V|-row
+  exchange on the state side — accepted: a persist chain that would keep the
+  partitioning grows the doubly-self-referencing plan exponentially and
+  OOMs the driver on plan stringification.
 - carrying ``outdeg``/``dangling``/``prev`` in the state removes the per-
   superstep joins against a degree table; L1 error + next dangling mass are
   computed via ``DataFrame.observe`` DURING the state materialization —
@@ -164,15 +166,18 @@ def pagerank(
         err, danglesum = stats["err"], stats["danglesum"]
         if metrics_sink is not None:
             metrics_sink.append({"iteration": it, "l1_error": err})
-        state.unpersist()
         state = new_state
         it += 1
         if fixed_iterations is None and err < n * tolerance:
+            state = lineage.finalize(state)
             _release()
             return state.select(ID, "rank")
-    _release()
     if fixed_iterations is not None:
+        state = lineage.finalize(state)
+        _release()
         return state.select(ID, "rank")
+    lineage.release()
+    _release()
     raise ConvergenceError(
         f"pagerank failed to converge in {maxiter} iterations (err={err!r}, "
         f"threshold={n * tolerance!r})"

@@ -34,6 +34,38 @@ from metagraph_spark.exceptions import GraphPropertyError
 from metagraph_spark.graph import DST, ID, SRC, WEIGHT, Graph
 from metagraph_spark.state import truncate_lineage
 
+# --- cross-engine deterministic hash ("mix31") ---------------------------
+# Sampling and Luby priorities need a seeded hash that an independent SQL
+# engine (the DuckDB oracle) can reproduce exactly. xxhash64 is Spark-only,
+# so we use 31-bit modular multiplies + xor-shifts: every intermediate fits
+# int64 (no overflow wrap, which DuckDB rejects), and both engines compute
+# the identical value. Quality is ample for Bernoulli thresholds/priorities.
+_P31 = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def mix31(col, seed: int):
+    """Deterministic 31-bit hash of a non-negative long column (cross-engine:
+    see ``mix31_sql`` in ``__spark_entry__.py`` for the DuckDB twin)."""
+    h1 = F.pmod(
+        F.pmod(col.cast("long"), F.lit(_P31)) * F.lit(2654435761)
+        + F.lit(int(seed)),
+        F.lit(_P31),
+    )
+    h2 = F.pmod(
+        h1.bitwiseXOR(F.shiftrightunsigned(h1, 15)) * F.lit(1597334677),
+        F.lit(_P31),
+    )
+    return h2.bitwiseXOR(F.shiftrightunsigned(h2, 13))
+
+
+def edge_key31(src_col, dst_col):
+    """Single non-negative long key for an edge, cross-engine computable."""
+    return F.pmod(
+        F.pmod(src_col.cast("long"), F.lit(_P31)) * F.lit(8191)
+        + F.pmod(dst_col.cast("long"), F.lit(_P31)),
+        F.lit(_P31),
+    )
+
 
 def extract_subgraph(graph: Graph, nodes: DataFrame) -> Graph:
     """Node-induced subgraph; ``nodes`` is a NodeSet DataFrame ``(id)``."""
@@ -156,7 +188,8 @@ def maximal_independent_set(
     for rnd in range(max_rounds):
         if remaining.isEmpty():
             break
-        prio = F.xxhash64(ID, F.lit(seed + rnd))
+        # cross-engine hash so the DuckDB oracle can replay the exact rounds
+        prio = mix31(F.col(ID), seed + rnd)
         cand = remaining.select(ID, prio.alias("p"))
         edges_r = (
             sym.join(cand.withColumnRenamed(ID, SRC).withColumnRenamed("p", "ps"), SRC)
@@ -184,9 +217,17 @@ def maximal_independent_set(
     return mis
 
 
+_SALT31 = {"node": 101, "edge": 202, "ties": 303}
+
+
 def _bernoulli(col, p: float, seed: int, salt: str):
-    """Deterministic Bernoulli(p) from a hash of the key columns."""
-    h = F.pmod(F.xxhash64(F.lit(salt), *col, F.lit(seed)), F.lit(1_000_000))
+    """Deterministic Bernoulli(p) from a cross-engine hash of the key
+    columns (mix31 — replayable by the DuckDB oracle, see module head)."""
+    if len(col) == 1:
+        key = col[0].cast("long")
+    else:
+        key = edge_key31(col[0], col[1])
+    h = F.pmod(mix31(key, seed + _SALT31[salt]), F.lit(1_000_000))
     return (h.cast("double") + 0.5) / 1_000_000.0 < p
 
 

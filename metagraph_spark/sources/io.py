@@ -10,6 +10,7 @@ format is a config switch — call sites never name a format.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,10 +37,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_table(
+    df: DataFrame, path: str, mode: str = "overwrite", table: str | None = None
+) -> None:
+    """Write ``df`` to ``path`` (parquet), or — when an Iceberg catalog is
+    configured — to the logical table ``table`` (defaulting to a valid
+    identifier derived from the path's basename, since callers pass
+    filesystem paths). ``mode`` is honored in both branches."""
     spark = df.sparkSession
     ns = os.environ.get("SPARK_GRAFT_ICEBERG_NS")
     if ns and _iceberg_available(spark):
-        df.writeTo(f"{ns}.{path}").createOrReplace()
+        ident = table or re.sub(
+            r"[^A-Za-z0-9_]", "_",
+            os.path.basename(path.rstrip("/")).removesuffix(".parquet"),
+        )
+        writer = df.writeTo(f"{ns}.{ident}")
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
         return
     df.write.mode(mode).parquet(path)

@@ -92,22 +92,39 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
 class LineageManager:
     """Per-iteration state materializer for superstep loops.
 
-    ``localCheckpoint`` cuts lineage but ERASES outputPartitioning, forcing
-    an extra vertex-state Exchange every superstep (observed in the
-    physical plan). ``persist`` keeps partitioning (the cached subtree is
-    replaced by an InMemoryRelation leaf at planning time) but lets the
-    logical plan grow per iteration. This manager persists every iteration
-    and localCheckpoints every ``checkpoint_every``-th — co-partitioned
-    joins stay shuffle-free while plan growth stays bounded."""
+    Policy: ``localCheckpoint(eager=True)`` EVERY superstep — the
+    materialized state becomes a leaf (``LogicalRDD``) so the logical plan
+    stays constant-size across iterations.
 
-    def __init__(self, checkpoint_every: int = 8):
+    Why not a persist() chain (tried and reverted in round 1/2): a
+    superstep's plan references the previous state TWICE (once for the
+    gather contributions, once for the state merge), and ``persist`` caches
+    blocks but does NOT replace the logical plan — the InMemoryRelation
+    substitution happens only at physical planning. The analyzed plan
+    therefore DOUBLES per persisted iteration; after ~8 iterations merely
+    stringifying it for the SQL listener OOMs the driver heap
+    (``java.lang.OutOfMemoryError`` inside
+    ``QueryExecution.explainString -> TreeNode.generateTreeString``,
+    reproduced via ``pytest tests/test_kernel.py tests/test_pagerank.py``).
+    The cost of the leaf policy is that ``LogicalRDD`` reports
+    ``UnknownPartitioning``, re-introducing one |V|-row Exchange per
+    superstep on the vertex-state side — minor next to the |E|-row gather
+    shuffle, and AQE coalesces it.
+
+    ``finalize``/``release`` are kept as the loop's exit protocol so a
+    future safe block-reuse policy can slot in without touching operators."""
+
+    def __init__(self, checkpoint_every: int = 1):
         self.checkpoint_every = checkpoint_every
         self._i = 0
 
     def materialize(self, df: DataFrame) -> DataFrame:
         self._i += 1
-        if self._i % self.checkpoint_every == 0:
-            return df.localCheckpoint(eager=True)
-        df = df.persist()
-        df.count()
-        return df
+        return df.localCheckpoint(eager=True)
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        """Close out the loop on a successful exit path."""
+        return state
+
+    def release(self) -> None:
+        """Free intermediate state (error paths); no-op under leaf policy."""

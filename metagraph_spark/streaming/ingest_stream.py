@@ -13,6 +13,8 @@ Windowed per-tool activity counts are a plain watermarked streaming agg.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,9 +97,15 @@ def start_edge_maintenance(
             )
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).cast("double").alias("weight_delta"))
-            .withColumn("epoch", F.lit(epoch_id))
         )
-        pairs.write.mode("append").parquet(edge_table_path)
+        # Idempotent per epoch: Structured Streaming replays the last epoch
+        # after a failure/restart, so a plain append would double-count
+        # deltas. Writing each epoch into its own partition directory with
+        # overwrite makes the replay a no-op-equivalent rewrite; readers
+        # discover `epoch` as a partition column.
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(edge_table_path, f"epoch={epoch_id}")
+        )
         # new carried state: max turn per conversation seen so far
         w_last = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
         new_state = (
