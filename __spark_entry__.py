@@ -20,6 +20,7 @@ Float outputs are rounded to 6 decimals on BOTH sides before hashing.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -45,9 +46,12 @@ from metagraph_spark.operators.centrality import (
 from metagraph_spark.operators.kernel import pagerank_kernel
 from metagraph_spark.operators.lpa import label_propagation_community
 from metagraph_spark.operators.pagerank import pagerank
+from metagraph_spark.operators.coloring import greedy_coloring
+from metagraph_spark.operators.flow import max_flow, min_cut
 from metagraph_spark.operators.subgraph import (
     k_core,
     maximal_independent_set,
+    random_walk_sampling,
     totally_induced_edge_sampling,
 )
 from metagraph_spark.operators.traversal import (
@@ -536,6 +540,253 @@ ORDER BY src, dst"""
     )
 
 
+# ---------------------------------------------- coloring / walks / apsp sql
+COLORING_UNROLL = 10  # speculative coloring: 6 rounds at sf0.01 + margin
+COLORING_SEED = 42
+RW_WALKS = 8
+RW_STEPS = 10
+RW_JUMP = 0.15
+RW_SEED = 42
+APSP_SOURCES = 5
+APSP_UNROLL = 8
+
+
+def _coloring_sql(rounds: int, seed: int) -> str:
+    """Unrolled speculative coloring on the weight>=2 co-purchase subgraph
+    (sparse: Δ=13 at sf0.01) — replays operators/coloring.py exactly."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "se AS (SELECT src, dst FROM e WHERE weight >= 2)",
+        "ssym AS (SELECT src, dst FROM se UNION ALL SELECT dst, src FROM se)",
+        "snodes AS (SELECT DISTINCT src AS id FROM ssym)",
+        "col0 AS (SELECT id, 0::BIGINT AS color FROM snodes WHERE false)",
+        "unc0 AS (SELECT id FROM snodes)",
+    ]
+    for r in range(rounds):
+        pa = _mix31_sql("s.src", seed + r)
+        pb = _mix31_sql("s.dst", seed + r)
+        ctes.append(
+            f"""used{r} AS (
+  SELECT u.id, list(DISTINCT c.color) AS cols
+  FROM unc{r} u JOIN ssym s ON s.src = u.id JOIN col{r} c ON s.dst = c.id
+  GROUP BY u.id),
+tent{r} AS (
+  SELECT u.id,
+         coalesce((SELECT min(i) FROM unnest(range(len(uu.cols) + 1)) AS t(i)
+                   WHERE NOT list_contains(uu.cols, i)), 0)::BIGINT AS color
+  FROM unc{r} u LEFT JOIN used{r} uu ON u.id = uu.id),
+win{r} AS (
+  SELECT t.id, t.color FROM tent{r} t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ssym s JOIN tent{r} t2 ON s.dst = t2.id
+    WHERE s.src = t.id AND t2.color = t.color
+      AND (({pb}) > ({pa}) OR (({pb}) = ({pa}) AND s.dst > s.src)))),
+col{r + 1} AS (SELECT id, color FROM col{r} UNION ALL SELECT id, color FROM win{r}),
+unc{r + 1} AS (SELECT id FROM unc{r} WHERE id NOT IN (SELECT id FROM win{r}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, color FROM col{rounds} ORDER BY id"
+    )
+
+
+def _rw_sql(
+    num_walks: int, num_steps: int, p: float, seed: int
+) -> str:
+    """Unrolled parallel random walks on the directed event-type graph,
+    start = min node id — replays subgraph.random_walk_sampling exactly."""
+    ctes = [
+        _SQL_EVENT_TYPE.strip().rstrip(","),
+        "st AS (SELECT min(id) AS v FROM dnodes)",
+        """ie AS (SELECT src, dst,
+                  row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+           FROM (SELECT DISTINCT src, dst FROM de))""",
+        "degt AS (SELECT src AS cur, max(rn) AS outdeg FROM ie GROUP BY 1)",
+        f"""s0 AS (SELECT unnest(range({num_walks})) AS walk_id,
+                  (SELECT v FROM st) AS cur)""",
+    ]
+    for k in range(num_steps):
+        jkey = (
+            f"(((w.walk_id * {num_steps} + {k}) % {_P31}) * 8191 "
+            f"+ (w.cur % {_P31})) % {_P31}"
+        )
+        ikey = (
+            f"(((w.walk_id * {num_steps} + {k + 7919}) % {_P31}) * 8191 "
+            f"+ (w.cur % {_P31})) % {_P31}"
+        )
+        jump = (
+            f"((({_mix31_sql(jkey, seed + 505)}) % 1000000) + 0.5)"
+            f" / 1000000.0 < {p}"
+        )
+        idx = (
+            f"({_mix31_sql(ikey, seed + 606)})"
+            f" % greatest(coalesce(d.outdeg, 1), 1)"
+        )
+        ctes.append(
+            f"""dec{k} AS (
+  SELECT w.walk_id, w.cur, d.outdeg, ({jump}) AS jmp, ({idx}) AS idx
+  FROM s{k} w LEFT JOIN degt d ON w.cur = d.cur),
+mv{k} AS (
+  SELECT t.walk_id, t.cur AS src, ie.dst
+  FROM dec{k} t JOIN ie ON t.cur = ie.src AND ie.rn = t.idx + 1
+  WHERE NOT t.jmp AND t.outdeg IS NOT NULL),
+s{k + 1} AS (
+  SELECT walk_id, dst AS cur FROM mv{k}
+  UNION ALL
+  SELECT walk_id, (SELECT v FROM st) AS cur FROM dec{k}
+  WHERE jmp OR outdeg IS NULL)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {k} AS step, src, dst FROM mv{k}"
+        for k in range(num_steps)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({union}) ORDER BY walk_id, step"
+    )
+
+
+def _apsp_sql(rounds: int, n_sources: int) -> str:
+    """Bounded-source APSP distances on the weighted co-purchase graph."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        f"srcs AS (SELECT id FROM nodes ORDER BY id LIMIT {n_sources})",
+        "a0 AS (SELECT id AS root, id, 0.0::double AS dist FROM srcs)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""a{k + 1} AS (
+  SELECT root, id, min(dist) AS dist FROM (
+    SELECT root, id, dist FROM a{k}
+    UNION ALL
+    SELECT a{k}.root, sym.dst AS id, a{k}.dist + sym.weight AS dist
+    FROM sym JOIN a{k} ON sym.src = a{k}.id) GROUP BY 1, 2)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT root AS src, id AS dst, round(dist, 6) AS dist
+FROM a{rounds} ORDER BY src, dst"""
+    )
+
+
+def _maxflow_value_sql() -> str:
+    """Max-flow value on the event-type graph via min-cut enumeration
+    (max-flow = min-cut duality; the node count is tiny, masks ≤ 2^n)."""
+    return (
+        "WITH " + _SQL_EVENT_TYPE.strip().rstrip(",")
+        + """
+, sdef AS (SELECT min(id) AS s, max(id) AS t FROM dnodes),
+others AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS pos
+           FROM dnodes WHERE id <> (SELECT s FROM sdef)
+                         AND id <> (SELECT t FROM sdef)),
+masks AS (SELECT unnest(range(1 << (SELECT count(*) FROM others)::INT)) AS m),
+member AS (SELECT m.m, o.id FROM masks m
+           JOIN others o ON ((m.m >> o.pos::INT) & 1) = 1
+           UNION ALL SELECT m.m, (SELECT s FROM sdef) FROM masks m),
+cutv AS (SELECT m.m, coalesce(sum(d.weight), 0.0) AS cv
+         FROM masks m LEFT JOIN (
+           SELECT mem.m, d.weight
+           FROM de d JOIN member mem ON d.src = mem.id
+           WHERE NOT EXISTS (SELECT 1 FROM member m2
+                             WHERE m2.m = mem.m AND m2.id = d.dst)
+         ) d ON d.m = m.m
+         GROUP BY m.m)
+SELECT round(min(cv), 6) AS flow FROM cutv"""
+    )
+
+
+# --------------------------------------------------------------- dedup sql
+_TK_SQL = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+
+def _hex_int_sql(expr: str, nchars: int) -> str:
+    """DuckDB: first ``nchars`` hex chars of ``expr`` as BIGINT (twin of
+    ``functions.dedup.md5_key48/60`` — exact integer shifts, no doubles)."""
+    return (
+        f"list_sum(list_transform(range({nchars}), i -> "
+        f"((strpos('0123456789abcdef', substr({expr}, (i+1)::INT, 1)) - 1)"
+        f"::BIGINT << (4*({nchars - 1} - i))::INT)))"
+    )
+
+
+def _minhash_sql(
+    num_hashes: int, bands: int, threshold: float, seed: int
+) -> str:
+    """Exact replica of minhash_lsh_pairs: md5-48bit shingle keys, the same
+    affine permutations (regenerated from the seed), candidate = ≥1 fully
+    equal band (slice equality — hash-bucket collisions are the only
+    divergence and are ~2^-64), est_jaccard = matching positions / k."""
+    from metagraph_spark.functions.dedup import _MERSENNE_P, minhash_params
+
+    a, b = minhash_params(num_hashes, seed)
+    p = _MERSENNE_P
+    hex48 = _hex_int_sql("md5(s)", 12)
+    sig_cols = ",\n       ".join(
+        f"min(((x * {a[i]}) + {b[i]}) % {p}) AS h{i}" for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_conds = "\n   OR ".join(
+        "("
+        + " AND ".join(f"a.h{bi * rpb + j} = b.h{bi * rpb + j}" for j in range(rpb))
+        + ")"
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+WITH d AS (SELECT doc_id, {_TK_SQL} tk FROM documents),
+sh0 AS (SELECT doc_id, unnest(
+          CASE WHEN len(tk) >= 3
+               THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+               ELSE [array_to_string(tk, ' ')] END) s
+        FROM d),
+shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+keys AS (SELECT doc_id, ({hex48}) % {p} AS x FROM shd),
+sig AS (SELECT doc_id, {sig_cols} FROM keys GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(({matches})::double / {num_hashes}, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({band_conds})
+  AND ({matches})::double / {num_hashes} >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+def _simhash_sql(max_hamming: int, seed: int, nbits: int = 60) -> str:
+    """Brute-force hamming pairs over the replica simhash — equals the
+    blocked Spark output because blocking is recall-complete for
+    max_hamming <= blocks-1 and candidates are exact-hamming filtered."""
+    hex60 = _hex_int_sql(f"md5(concat('{seed}', tok))", 15)
+    return rf"""
+WITH d AS (SELECT doc_id, {_TK_SQL} tk FROM documents),
+t AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+h AS (SELECT doc_id, {hex60} AS hv FROM t),
+bb AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       FROM h CROSS JOIN (SELECT unnest(range({nbits})) AS b) GROUP BY 1, 2),
+packed AS (SELECT doc_id,
+                  sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS v
+           FROM bb GROUP BY 1),
+sh AS (SELECT documents.doc_id, coalesce(packed.v, 0) AS simhash
+       FROM documents LEFT JOIN packed USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
+
+
+_DEDUP_CLUSTERS_SQL = r"""
+WITH n AS (SELECT doc_id,
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+           FROM documents)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY nt) AS cluster,
+       doc_id = min(doc_id) OVER (PARTITION BY nt) AS keep
+FROM n ORDER BY doc_id"""
+
+
 # ----------------------------------------------------------------- text sql
 _LANGS = list(mtext.STOPWORDS)
 
@@ -711,25 +962,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         totally_induced_edge_sampling(_copurchase_graph(spark, sf), 0.3)
         .edges.orderBy("src", "dst")
     )
+    # fixed-iteration variants: the DuckDB oracle unrolls the identical k
+    # updates, so values match exactly (after round-6)
     q["katz"] = lambda spark, sf: (
         katz_centrality(
-            _copurchase_graph(spark, sf), attenuation_factor=1e-4, maxiter=100
+            _copurchase_graph(spark, sf),
+            attenuation_factor=1e-4,
+            fixed_iterations=KATZ_ITERS,
         )
         .select("id", F.round("katz", 6).alias("katz"))
         .orderBy("id")
     )
     q["eigenvector"] = lambda spark, sf: (
-        eigenvector_centrality(_copurchase_graph(spark, sf), maxiter=100)
+        eigenvector_centrality(
+            _copurchase_graph(spark, sf), fixed_iterations=EIG_ITERS
+        )
         .select("id", F.round("eigenvector", 6).alias("eigenvector"))
         .orderBy("id")
     )
     q["hits"] = lambda spark, sf: (
         hits_centrality(
-            build(_event_type_edges(spark, sf), is_directed=True), maxiter=100
+            build(_event_type_edges(spark, sf), is_directed=True),
+            fixed_iterations=HITS_ITERS,
         )[1]
         .select("id", F.round("authority", 6).alias("authority"))
         .orderBy("id")
     )
+    def _coloring(spark, sf):
+        sub = mutil.filter_edges(_copurchase_graph(spark, sf), "weight >= 2")
+        # drop isolates so node set == SQL's edge-endpoint set
+        sub = Graph(edges=sub.edges, nodes=None, is_directed=False)
+        colors, _n = greedy_coloring(sub, seed=COLORING_SEED)
+        return colors.orderBy("id")
+
+    q["coloring_greedy"] = _coloring
+
+    def _rw(spark, sf):
+        g = build(_event_type_edges(spark, sf), is_directed=True)
+        start = g.node_ids().agg(F.min("id")).collect()[0][0]
+        return random_walk_sampling(
+            g,
+            num_walks=RW_WALKS,
+            num_steps=RW_STEPS,
+            jump_probability=RW_JUMP,
+            start_node=start,
+            seed=RW_SEED,
+        ).orderBy("walk_id", "step")
+
+    q["random_walk"] = _rw
+
+    def _apsp(spark, sf):
+        from metagraph_spark.operators.centrality import (
+            all_pairs_shortest_paths,
+        )
+
+        g = _copurchase_graph(spark, sf)
+        srcs = g.node_ids().orderBy("id").limit(APSP_SOURCES)
+        return (
+            all_pairs_shortest_paths(g, srcs)
+            .select("src", "dst", F.round("dist", 6).alias("dist"))
+            .orderBy("src", "dst")
+        )
+
+    q["apsp_subset"] = _apsp
+
+    def _maxflow_value(spark, sf):
+        g = build(_event_type_edges(spark, sf), is_directed=True)
+        ids = g.node_ids().agg(
+            F.min("id").alias("s"), F.max("id").alias("t")
+        ).collect()[0]
+        value, _fg = max_flow(g, ids["s"], ids["t"])
+        return spark.createDataFrame([(round(value, 6),)], "flow double")
+
+    q["max_flow_value"] = _maxflow_value
+
+    def _mincut(spark, sf):
+        g = build(_event_type_edges(spark, sf), is_directed=True)
+        ids = g.node_ids().agg(
+            F.min("id").alias("s"), F.max("id").alias("t")
+        ).collect()[0]
+        _value, cg = min_cut(g, ids["s"], ids["t"])
+        return cg.edges.orderBy("src", "dst")
+
+    q["min_cut_edges"] = _mincut
     q["closeness_subset"] = lambda spark, sf: (
         closeness_centrality(
             g := _copurchase_graph(spark, sf),
@@ -777,6 +1092,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mdedup.simhash_pairs(read_table(spark, sf, "documents"), max_hamming=3)
         .orderBy("doc_a", "doc_b")
     )
+
+    def _dedup_clusters(spark, sf):
+        """exact pairs → distributed CC → keep-one-per-duplicate-CLUSTER."""
+        docs = read_table(spark, sf, "documents")
+        keyed = docs.select(
+            "doc_id", mdedup.normalized_text(F.col("text")).alias("_n")
+        )
+        grp = keyed.groupBy("_n").agg(F.min("doc_id").alias("rep"))
+        pairs = (
+            keyed.join(grp, "_n")
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
+        return mdedup.duplicate_clusters(docs, pairs).orderBy("doc_id")
+
+    q["dedup_clusters"] = _dedup_clusters
     q["text_stats"] = lambda spark, sf: (
         read_table(spark, sf, "documents").select(
             "doc_id",
@@ -814,7 +1147,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --------------------------------------------------------------- oracle SQL
+def _materialize_ctes(sql: str) -> str:
+    """Force DuckDB to materialize every named CTE (``AS MATERIALIZED``).
+
+    Without this DuckDB inlines CTEs per reference; the deeply unrolled
+    iterative oracles (each round referencing the previous round's CTE
+    multiple times) expand exponentially and exhaust file descriptors
+    re-opening the parquet scans. Materialization keeps one scan per base
+    table and one evaluation per round. Recursive CTE heads like
+    ``reach(a, b) AS (`` are excluded (lookbehind requires a word char)."""
+    return re.sub(r"(?<=\w) AS \(", " AS MATERIALIZED (", sql)
+
+
 def oracle_sql() -> dict[str, str]:
+    raw = _oracle_sql_raw()
+    return {k: _materialize_ctes(v) for k, v in raw.items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     cp = "WITH " + _SQL_COPURCHASE.strip().rstrip(",")
     et = "WITH " + _SQL_EVENT_TYPE.strip().rstrip(",")
     toks = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
@@ -881,6 +1231,25 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "modularity_fixed_lpa": _modularity_sql(LPA_ROUNDS),
         "bfs_depths": _bfs_sql(BFS_DEPTH),
         "bellman_ford_fixed": _bellman_ford_sql(BF_ROUNDS),
+        # converged/fixpoint operators: the SQL unrolls past the empirically
+        # measured fixpoint (constants above), so both engines return the
+        # same fixed point
+        "connected_components": _cc_sql(CC_CONV_UNROLL),
+        "k_core_3": _kcore_sql(3, KCORE_UNROLL),
+        "scc": _scc_sql(),
+        "katz": _katz_sql(KATZ_ITERS, 1e-4, 1.0),
+        "eigenvector": _eig_sql(EIG_ITERS),
+        "hits": _hits_sql(HITS_ITERS),
+        "closeness_subset": _closeness_sql(CLOSENESS_UNROLL, 8),
+        "maximal_independent_set": _mis_sql(MIS_UNROLL, MIS_SEED),
+        "ties_sample": _ties_sql(TIES_P, TIES_SEED),
+        "coloring_greedy": _coloring_sql(COLORING_UNROLL, COLORING_SEED),
+        "random_walk": _rw_sql(RW_WALKS, RW_STEPS, RW_JUMP, RW_SEED),
+        "apsp_subset": _apsp_sql(APSP_UNROLL, APSP_SOURCES),
+        "max_flow_value": _maxflow_value_sql(),
+        "dedup_minhash_lsh": _minhash_sql(64, 16, 0.8, 42),
+        "dedup_simhash": _simhash_sql(3, 42),
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_exact_counts": r"""
 SELECT doc_id,
        count(*) OVER (

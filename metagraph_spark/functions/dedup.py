@@ -9,14 +9,17 @@ on (duplicate groups or candidate pairs):
   explode → pair-join → count ratio. Exact but quadratic per shared
   shingle — the small/verification path.
 - ``minhash_lsh_pairs``: MinHash signatures (k permutations, affine hashes
-  over crc32 shingle keys — crc32 chosen because Spark's ``F.crc32`` and
-  Python's ``zlib.crc32`` agree bit-for-bit, giving an exact cross-engine
-  test oracle) + LSH banding → candidate pairs with estimated Jaccard.
+  over md5-derived 48-bit shingle keys — md5 chosen because Spark, Python's
+  ``hashlib`` and DuckDB all agree bit-for-bit, giving exact cross-engine
+  test oracles) + LSH banding → candidate pairs with estimated Jaccard.
   Scale path: signatures are one shuffle-free projection; banding is one
-  groupBy; the candidate join touches only colliding buckets.
-- ``simhash_64``: 64-bit SimHash over token crc32s in a vectorized pandas
+  groupBy; the candidate join touches only colliding buckets (hot buckets
+  capped).
+- ``simhash_64``: 60-bit SimHash over md5 token keys in a vectorized pandas
   UDF (numpy bit matrix per Arrow batch); hamming-distance pairs via
-  band-rotation blocking.
+  pigeonhole blocking.
+- ``duplicate_clusters``: candidate pairs → connected components → one
+  canonical keeper per duplicate CLUSTER (wired to operators/components.py).
 - ``embedding_near_duplicates`` lives in similarity.py (cosine top-k).
 
 All hash seeds are explicit so every run, every engine, and every test
@@ -24,8 +27,6 @@ oracle agrees.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -39,6 +40,30 @@ from metagraph_spark.functions.text import tokenize
 # b_i) mod P. P is kept at 31 bits so a·x stays < 2^62 — no int64 overflow in
 # either Spark or the numpy oracle.
 _MERSENNE_P = (1 << 31) - 1
+
+# SimHash width: 60 bits (not 64) so the packed value is positive int64 in
+# every engine (no sign-bit shifts) and divides evenly into 6 blocks of 10
+# for pigeonhole blocking.
+SIMHASH_BITS = 60
+
+
+def md5_key48(col: Column) -> Column:
+    """48-bit integer key from the first 12 hex chars of md5 — chosen because
+    Spark (``conv(substr(md5(x),1,12),16,10)``) and DuckDB (strpos-unrolled
+    hex parse) produce the identical value, giving an exact cross-engine
+    oracle; 48 bits also stays exact inside a double if an engine routes the
+    arithmetic through floats."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_key60(col: Column) -> Column:
+    """60-bit integer key from the first 15 hex chars of md5 (positive in
+    int64; same cross-engine rationale as :func:`md5_key48`)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
 
 
 def normalized_text(text: Column) -> Column:
@@ -140,10 +165,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(doc_id, sig: array<long>)`` MinHash signatures.
 
-    Shingle keys are ``crc32(shingle)`` (JVM ``F.crc32``, bit-identical to
-    the ``zlib.crc32`` oracle); the k affine permutations + min-fold run in
-    ONE vectorized numpy pandas UDF per Arrow batch
-    (``min(((x mod P)\u00b7a_i + b_i) mod P)`` per slot). An earlier
+    Shingle keys are :func:`md5_key48` (bit-identical in Spark, the Python
+    ``hashlib`` replica, and the DuckDB SQL oracle); the k affine
+    permutations + min-fold run in ONE vectorized numpy pandas UDF per Arrow
+    batch (``min(((x mod P)\u00b7a_i + b_i) mod P)`` per slot). An earlier
     all-Catalyst variant with k array-transform expressions compiled into a
     pathological codegen unit; the numpy kernel is far faster and exactly
     equal (int64 math, no overflow: (x mod P) < 2^31, a_i < 2^31)."""
@@ -153,7 +178,7 @@ def minhash_signatures(
     p = _MERSENNE_P
 
     sh = shingles(F.col(text_col), shingle_n)
-    keys = F.transform(sh, lambda s: F.crc32(s.cast("binary")))
+    keys = F.transform(sh, lambda s: md5_key48(s))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(key_arrays: pd.Series) -> pd.Series:
@@ -259,20 +284,19 @@ def minhash_lsh_pairs(
 def simhash_64(
     docs: DataFrame, text_col: str = "text", seed: int = 42
 ) -> DataFrame:
-    """``(doc_id, simhash: long)`` — 64-bit SimHash over token hashes.
+    """``(doc_id, simhash: long)`` — :data:`SIMHASH_BITS`-bit SimHash over
+    token hashes.
 
-    Token hashes: two crc32s (seeded salt) concatenated to 64 bits, computed
-    JVM-side; the bit-vote fold runs in a vectorized pandas UDF (numpy
-    unpack → sign sum → pack), Arrow-batched — no per-row Python at the
-    DataFrame surface."""
+    Token hashes: :func:`md5_key60` over the seeded token (cross-engine
+    exact — Spark, hashlib, DuckDB agree); the bit-vote fold runs in a
+    vectorized pandas UDF (numpy unpack → sign sum → pack), Arrow-batched —
+    no per-row Python at the DataFrame surface."""
     toks = tokenize(normalized_text(F.col(text_col)))
-    h64 = F.transform(
-        toks,
-        lambda t: F.shiftleft(F.crc32(t.cast("binary")), 32).bitwiseOR(
-            F.crc32(F.concat(F.lit(str(seed)), t).cast("binary"))
-        ),
+    hbits = F.transform(
+        toks, lambda t: md5_key60(F.concat(F.lit(str(seed)), t))
     )
-    with_h = docs.select(F.col("doc_id"), h64.alias("hs"))
+    with_h = docs.select(F.col("doc_id"), hbits.alias("hs"))
+    nbits = SIMHASH_BITS
 
     @F.pandas_udf(T.LongType())
     def fold(hs: pd.Series) -> pd.Series:
@@ -282,7 +306,7 @@ def simhash_64(
                 out[i] = 0
                 continue
             v = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            bits = ((v[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1).astype(
                 np.int64
             )
             votes = np.where(bits > 0, 1, -1).sum(axis=0)
@@ -301,23 +325,28 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     seed: int = 42,
-    blocks: int = 8,
+    blocks: int = 6,
 ) -> DataFrame:
     """Near-dup pairs ``(doc_a, doc_b, hamming)`` with hamming ≤ max_hamming.
 
-    Blocking: split the 64-bit simhash into ``blocks`` contiguous byte
-    blocks — any pair within hamming ≤ blocks-1 shares at least one exact
-    block (pigeonhole), so candidates = equi-join per block. Recall is only
-    guaranteed for ``max_hamming <= blocks - 1``; larger values would
-    silently miss qualifying pairs, so they are rejected."""
+    Blocking: split the :data:`SIMHASH_BITS`-bit simhash into ``blocks``
+    contiguous blocks — any pair within hamming ≤ blocks-1 shares at least
+    one exact block (pigeonhole), so candidates = equi-join per block.
+    Recall is only guaranteed for ``max_hamming <= blocks - 1``; larger
+    values would silently miss qualifying pairs, so they are rejected."""
     if max_hamming >= blocks:
         raise ValueError(
             f"simhash blocking guarantees recall only for max_hamming <= "
             f"blocks-1 (got max_hamming={max_hamming}, blocks={blocks}); "
             f"raise `blocks` to cover larger distances"
         )
+    if SIMHASH_BITS % blocks != 0:
+        raise ValueError(
+            f"blocks={blocks} must divide SIMHASH_BITS={SIMHASH_BITS} "
+            f"(pigeonhole coverage)"
+        )
     sh = simhash_64(docs, text_col, seed).persist()
-    width = 64 // blocks
+    width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
     block_rows = sh.select(
         "doc_id",
@@ -353,3 +382,33 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate CLUSTERS and pick
+    one keeper per cluster: ``(doc_id, cluster, keep)``.
+
+    ``pairs`` is any ``(doc_a, doc_b)`` DataFrame (from exact, n-gram,
+    MinHash-LSH or SimHash candidates); clusters are the connected
+    components of the pair graph (transitive closure — A~B, B~C ⇒ one
+    cluster), computed with the engine's distributed hash-min CC operator
+    (operators/components.py). Docs in no pair form singleton clusters.
+    ``cluster`` = min doc_id in the cluster; ``keep`` = (doc_id == cluster),
+    i.e. keep exactly one doc per near-duplicate cluster."""
+    from metagraph_spark.graph import build
+    from metagraph_spark.operators.components import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    g = build(
+        edges,
+        nodes=docs.select(F.col("doc_id").alias("id")),
+        is_directed=False,
+    )
+    cc = connected_components(g)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

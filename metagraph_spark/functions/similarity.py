@@ -168,3 +168,20 @@ def embedding_near_duplicates(
         )
         .distinct()
     )
+
+
+def embedding_apply(
+    embeddings: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding.apply.nodes`` (reference
+    ``plugins/numpy/algorithms.py:71-76``: ``matrix[node2row[nodes]]``) —
+    select the embedding rows for ``nodes``. The reference's matrix +
+    node→row indirection collapses in Spark: the embedding TABLE is keyed by
+    id, so apply = one equi-join (broadcast when the node set is small).
+    Returns ``(id_col, vec_col)`` — one row per requested node present in
+    the table."""
+    keys = nodes.select(F.col(nodes.columns[0]).alias(id_col))
+    return keys.join(embeddings.select(id_col, vec_col), id_col)

@@ -17,8 +17,9 @@ held in Arrow; vectorized pandas/Arrow UDFs do the gather-scatter"):
   ZERO shuffles per superstep.
 
 Applicability: the vertex vector must fit on the driver/executors
-(8 bytes × V — fine to ~10^8 vertices; ``pagerank`` auto-falls back to the
-join-based implementation above that). This mirrors the reference's
+(8 bytes × V — fine to ~10^8 vertices; ``pagerank(strategy="auto")`` in
+operators/pagerank.py picks this kernel below ``KERNEL_MAX_VERTICES`` and
+the join-based path above it). This mirrors the reference's
 physical split: scipy CSR kernels for in-memory speed
 (``plugins/scipy/types.py:191-225``), chunked loaders for bigger-than-memory
 (``core/dask/loader.py:15-74``).

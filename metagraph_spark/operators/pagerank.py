@@ -48,6 +48,11 @@ from metagraph_spark.state import CheckpointManager, LineageManager, truncate_li
 _STATE_COLS = ("id", "outdeg", "dangling", "rank", "prev")
 
 
+# above this vertex count the kernel's dense driver-side rank vector (8 B×V
+# plus working copies) stops being reasonable; the join path has no such cap
+KERNEL_MAX_VERTICES = 50_000_000
+
+
 def pagerank(
     graph: Graph,
     damping: float = 0.85,
@@ -56,6 +61,8 @@ def pagerank(
     fixed_iterations: int | None = None,
     checkpointer: CheckpointManager | None = None,
     metrics_sink: list | None = None,
+    strategy: str = "join",
+    kernel_max_vertices: int = KERNEL_MAX_VERTICES,
 ) -> DataFrame:
     """Return NodeMap DataFrame ``(id: long, rank: double)``.
 
@@ -66,7 +73,31 @@ def pagerank(
 
     With a ``checkpointer``, full vertex state persists per superstep and a
     re-run resumes from the newest complete iteration. ``metrics_sink``
-    (optional list) receives one dict per superstep."""
+    (optional list) receives one dict per superstep.
+
+    ``strategy``: ``"join"`` (default — scales to any V), ``"kernel"``
+    (CSR/Arrow zero-shuffle supersteps, dense driver rank vector, capped at
+    ``kernel_max_vertices``), or ``"auto"`` — kernel when the vertex count
+    fits and no checkpointer is requested (the kernel keeps no durable
+    per-superstep state), join otherwise. Both strategies implement the
+    identical update rule and are asserted equal by shared golden tests."""
+    if strategy not in ("join", "kernel", "auto"):
+        raise ValueError(f"unknown pagerank strategy {strategy!r}")
+    if strategy != "join":
+        use_kernel = strategy == "kernel" or (
+            checkpointer is None and graph.num_nodes() <= kernel_max_vertices
+        )
+        if use_kernel:
+            from metagraph_spark.operators.kernel import pagerank_kernel
+
+            return pagerank_kernel(
+                graph,
+                damping=damping,
+                maxiter=maxiter,
+                tolerance=tolerance,
+                fixed_iterations=fixed_iterations,
+                metrics_sink=metrics_sink,
+            )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if graph.is_directed and graph.metadata.get("partitioned_by_src") == n_part:

@@ -266,3 +266,122 @@ def totally_induced_edge_sampling(
         es.select(F.col(SRC).alias(ID)).unionAll(es.select(F.col(DST).alias(ID)))
     ).distinct()
     return extract_subgraph(graph, nodes)
+
+
+def random_walk_sampling(
+    graph: Graph,
+    num_walks: int = 8,
+    num_steps: int = 10,
+    jump_probability: float = 0.15,
+    start_node: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """subgraph.sample.random_walk, distributed analog: ``num_walks``
+    PARALLEL seeded walks of ``num_steps`` steps each; returns the visited
+    edge rows ``(walk_id, step, src, dst)``.
+
+    Reference (nx :511-581) runs ONE sequential walk with
+    ``jump_probability`` resets; a single walk is inherently sequential, so
+    the distributed form runs many walks at once — each walk replicates the
+    per-step semantics (reset w.p. p, else uniform random neighbor; dead
+    ends reset). All randomness is mix31-derived from (walk_id, step), so
+    runs are deterministic, partition-independent, and replayable by the
+    DuckDB oracle. Each step is one join of the walker state (W rows)
+    against the indexed edge table — W·steps total work, no driver loop
+    over edges.
+
+    Pass the result to :func:`extract_subgraph`/``util.graph.build`` to get
+    the sampled Graph (endpoint-induced), mirroring the reference's
+    returned visited-subgraph."""
+    if not 0 < jump_probability <= 1:
+        raise ValueError(
+            f"`jump_probability` must be between 0 and 1, found {jump_probability}"
+        )
+    spark = graph.edges.sparkSession
+    from pyspark.sql import Window
+
+    # neighbor index: rn-th out-neighbor of src (deterministic order by dst);
+    # undirected graphs walk both directions (symmetrized)
+    ie = truncate_lineage(
+        graph.symmetrized().select(SRC, DST)
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy(SRC).orderBy(DST))
+        )
+    )
+    deg = ie.groupBy(F.col(SRC).alias("cur")).agg(F.max("rn").alias("outdeg"))
+    walks = spark.range(num_walks).select(F.col("id").alias("walk_id"))
+    if start_node is not None:
+        starts = walks.select("walk_id", F.lit(int(start_node)).alias("start"))
+    else:
+        n = graph.num_nodes()
+        idx_nodes = graph.node_ids().withColumn(
+            "nrn", F.row_number().over(Window.orderBy(ID))
+        )
+        pick = walks.select(
+            "walk_id",
+            (F.pmod(mix31(F.col("walk_id"), seed + 404), F.lit(n)) + 1).alias(
+                "nrn"
+            ),
+        )
+        starts = pick.join(idx_nodes, "nrn").select(
+            "walk_id", F.col(ID).alias("start")
+        )
+    state = truncate_lineage(
+        starts.select("walk_id", "start", F.col("start").alias("cur"))
+    )
+    visited = []
+    for k in range(num_steps):
+        key = edge_key31(F.col("walk_id") * F.lit(num_steps) + F.lit(k), F.col("cur"))
+        u = (
+            F.pmod(mix31(key, seed + 505), F.lit(1_000_000)).cast("double")
+            + 0.5
+        ) / 1_000_000.0
+        st = state.join(deg, "cur", "left").select(
+            "walk_id",
+            "start",
+            "cur",
+            "outdeg",
+            (u < jump_probability).alias("_jump"),
+            F.pmod(
+                mix31(
+                    edge_key31(
+                        F.col("walk_id") * F.lit(num_steps) + F.lit(k + 7919),
+                        F.col("cur"),
+                    ),
+                    seed + 606,
+                ),
+                F.greatest(F.coalesce("outdeg", F.lit(1)), F.lit(1)),
+            ).alias("_idx"),
+        )
+        moved = (
+            st.filter(~F.col("_jump") & F.col("outdeg").isNotNull())
+            .join(ie.select(F.col(SRC).alias("cur"), DST, "rn"), ["cur"])
+            .filter(F.col("rn") == F.col("_idx") + 1)
+            .select(
+                "walk_id",
+                "start",
+                F.col("cur").alias(SRC),
+                F.col(DST).alias("nxt"),
+            )
+        )
+        visited.append(
+            moved.select(
+                "walk_id",
+                F.lit(k).alias("step"),
+                F.col(SRC),
+                F.col("nxt").alias(DST),
+            )
+        )
+        resets = st.filter(
+            F.col("_jump") | F.col("outdeg").isNull()
+        ).select("walk_id", "start", F.col("start").alias("cur"))
+        state = truncate_lineage(
+            moved.select(
+                "walk_id", "start", F.col("nxt").alias("cur")
+            ).unionAll(resets)
+        )
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.unionAll(v)
+    return out

@@ -5,14 +5,20 @@ into /root/reference). All are single Catalyst plans — projections, filters,
 semi-joins, aggregations — no iteration, no Python row funcs. Arbitrary
 user callables (the reference accepts any Python function in
 nodemap.apply/filter/reduce and aggregate_edges/filter_edges,
-``plugins/core/algorithms/utility.py:39-100``) are accepted here as either a
-Spark Column expression / SQL string (fast path, codegen) or a named builtin
-aggregator.
+``plugins/core/algorithms/utility.py:39-100``) are accepted here three ways:
+
+1. a Spark Column expression or SQL string — the fast path, whole-stage
+   codegen, use whenever the function is expressible;
+2. a named builtin aggregator (``"sum"/"min"/...``) for the fold ops;
+3. a VECTORIZED Python callable (``pd.Series -> pd.Series`` for
+   apply/filter, ``pd.Series -> scalar`` for aggregate/reduce) — wrapped in
+   an Arrow-batched pandas UDF, mirroring the reference's numba
+   vectorization (``plugins/numpy/algorithms.py:53-68``). Never per-row.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Callable, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -21,6 +27,7 @@ from metagraph_spark.exceptions import GraphPropertyError
 from metagraph_spark.graph import DST, ID, SRC, VALUE, WEIGHT, Graph
 
 ColumnLike = Union[Column, str]
+FuncLike = Union[Column, str, Callable]
 
 _AGGS = {
     "sum": F.sum,
@@ -34,6 +41,35 @@ _AGGS = {
 
 def _as_expr(func: ColumnLike) -> Column:
     return F.expr(func) if isinstance(func, str) else func
+
+
+def _value_expr(func: FuncLike, value_col: str, return_type: str) -> Column:
+    """Column over ``value_col``: Column/SQL pass through; a Python callable
+    becomes an Arrow-batched scalar pandas UDF (``pd.Series -> pd.Series``)."""
+    if callable(func) and not isinstance(func, Column):
+        import pandas as pd
+
+        def _wrapped(s):
+            out = func(s)
+            return out if isinstance(out, pd.Series) else pd.Series(out)
+
+        # real annotation objects (postponed-annotation strings from this
+        # module would not resolve inside pyspark's hint inference)
+        _wrapped.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_wrapped, return_type)(F.col(value_col))
+    return _as_expr(func)
+
+
+def _grouped_agg(func: Callable, value_col: str, return_type: str = "double"):
+    """Grouped-agg pandas UDF from a ``pd.Series -> scalar`` callable
+    (Arrow-batched; the callable sees each group's values as one Series)."""
+    import pandas as pd
+
+    def _wrapped(s):
+        return func(s)
+
+    _wrapped.__annotations__ = {"s": pd.Series, "return": float}
+    return F.pandas_udf(_wrapped, return_type)(F.col(value_col))
 
 
 # --------------------------------------------------------------------- graph
@@ -81,7 +117,7 @@ def degree_centrality(
 
 def aggregate_edges(
     graph: Graph,
-    func: str = "sum",
+    func: Union[str, Callable] = "sum",
     initial_value: float = 0.0,
     in_edges: bool = False,
     out_edges: bool = True,
@@ -92,7 +128,17 @@ def aggregate_edges(
     are set (reference doc: "each edge will only be counted one time").
     Nodes with no counted edges get ``initial_value``; counted edges fold
     starting from ``initial_value`` (sum → initial + sum, min → min(initial,
-    min), ...)."""
+    min), ...).
+
+    ``func`` may also be a VECTORIZED callable ``pd.Series -> scalar``
+    (Arrow grouped-agg pandas UDF, one call per node's weight Series — the
+    reference's arbitrary-Python fold without per-row Python); the callable
+    owns the initial-value fold, isolated nodes still get
+    ``initial_value``."""
+    if callable(func):
+        return _aggregate_edges_callable(
+            graph, func, initial_value, in_edges, out_edges
+        )
     if func not in _AGGS:
         raise ValueError(f"unsupported aggregator {func!r}; use one of {list(_AGGS)}")
     if not graph.is_weighted:
@@ -139,14 +185,54 @@ def aggregate_edges(
     )
 
 
-def filter_edges(graph: Graph, predicate: ColumnLike) -> Graph:
+def _aggregate_edges_callable(
+    graph: Graph,
+    func: Callable,
+    initial_value: float,
+    in_edges: bool,
+    out_edges: bool,
+) -> DataFrame:
+    if not graph.is_weighted:
+        raise GraphPropertyError("aggregate_edges requires an edge weight")
+    if not (in_edges or out_edges):
+        return graph.node_ids().select(
+            ID, F.lit(float(initial_value)).alias(VALUE)
+        )
+    if not graph.is_directed:
+        e = graph.edges
+        incid = e.select(F.col(SRC).alias(ID), WEIGHT).unionAll(
+            e.filter(F.col(SRC) != F.col(DST)).select(F.col(DST).alias(ID), WEIGHT)
+        )
+    else:
+        parts = []
+        if out_edges:
+            parts.append(graph.edges.select(F.col(SRC).alias(ID), WEIGHT))
+        if in_edges:
+            parts.append(graph.edges.select(F.col(DST).alias(ID), WEIGHT))
+        incid = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    agg = incid.groupBy(ID).agg(_grouped_agg(func, WEIGHT).alias("_agg"))
+    return (
+        graph.node_ids()
+        .join(agg, ID, "left")
+        .select(
+            ID,
+            F.coalesce(F.col("_agg"), F.lit(float(initial_value)))
+            .cast("double")
+            .alias(VALUE),
+        )
+    )
+
+
+def filter_edges(graph: Graph, predicate: FuncLike) -> Graph:
     """``util.graph.filter_edges`` (``utility.py:82-90``; scipy vectorized
     mask ``plugins/scipy/algorithms.py:255-268``): keep edges where
     ``predicate(weight)`` holds; ALL nodes are retained (may create
-    isolates), so the node set is pinned to the pre-filter node ids."""
+    isolates), so the node set is pinned to the pre-filter node ids.
+    ``predicate``: Column / SQL string, or vectorized callable over the
+    weight Series."""
     nodes = graph.nodes if graph.nodes is not None else graph.node_ids()
     return Graph(
-        edges=graph.edges.filter(_as_expr(predicate)),
+        edges=graph.edges.filter(_value_expr(predicate, WEIGHT, "boolean")),
         nodes=nodes,
         is_directed=graph.is_directed,
     )
@@ -251,27 +337,45 @@ def nodemap_select(nodemap: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def nodemap_filter(
-    nodemap: DataFrame, predicate: ColumnLike, as_nodeset: bool = True
+    nodemap: DataFrame,
+    predicate: FuncLike,
+    as_nodeset: bool = True,
+    value_col: str = VALUE,
 ) -> DataFrame:
     """``util.nodemap.filter`` (``utility.py:39-41``): keys where
-    pred(value); reference returns a NodeSet."""
-    out = nodemap.filter(_as_expr(predicate))
+    pred(value); reference returns a NodeSet. ``predicate`` may be a Column,
+    SQL string, or vectorized callable ``pd.Series -> pd.Series[bool]``."""
+    out = nodemap.filter(_value_expr(predicate, value_col, "boolean"))
     return out.select(ID) if as_nodeset else out
 
 
 def nodemap_apply(
-    nodemap: DataFrame, func: ColumnLike, value_col: str = VALUE
+    nodemap: DataFrame,
+    func: FuncLike,
+    value_col: str = VALUE,
+    return_type: str = "double",
 ) -> DataFrame:
     """``util.nodemap.apply`` (``utility.py:44-46``): map values. ``func``
-    is a Column over ``value`` (or SQL string), e.g. ``F.col('value')*2``."""
-    return nodemap.select(ID, _as_expr(func).alias(value_col))
+    is a Column over ``value`` / SQL string (codegen fast path), or a
+    vectorized callable ``pd.Series -> pd.Series`` (Arrow pandas UDF —
+    the reference's arbitrary-Python surface without per-row Python)."""
+    return nodemap.select(
+        ID, _value_expr(func, value_col, return_type).alias(value_col)
+    )
 
 
 def nodemap_reduce(
-    nodemap: DataFrame, func: str = "sum", value_col: str = VALUE
+    nodemap: DataFrame, func: Union[str, Callable] = "sum", value_col: str = VALUE
 ):
     """``util.nodemap.reduce`` (``utility.py:49-51``): fold values to a
-    scalar."""
+    scalar. Named builtins aggregate JVM-side; a Python callable
+    (``pd.Series -> scalar``) runs as ONE grouped-agg pandas UDF — it must
+    therefore be safe to see all values in a single Series (compat escape
+    hatch; prefer the named builtins at scale)."""
+    if callable(func):
+        return nodemap.agg(
+            _grouped_agg(func, value_col).alias(VALUE)
+        ).collect()[0][VALUE]
     if func not in _AGGS:
         raise ValueError(f"unsupported aggregator {func!r}")
     return nodemap.agg(_AGGS[func](value_col).alias(VALUE)).collect()[0][VALUE]

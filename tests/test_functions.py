@@ -1,10 +1,10 @@
 """Training-data pipeline function tests: dedup / similarity / text /
-multimodal. Oracles: pure Python (zlib.crc32 MinHash replica), DuckDB
+multimodal. Oracles: pure Python (hashlib.md5 MinHash replica), DuckDB
 (list_cosine_similarity), numpy brute force.
 """
 
+import hashlib
 import math
-import zlib
 
 import numpy as np
 import pytest
@@ -61,14 +61,16 @@ def test_ngram_jaccard_pairs(spark, docs_df):
 
 
 def python_minhash(text_str, num_hashes, n=3, seed=42):
-    """Oracle replica: same crc32 keys, same affine permutations."""
+    """Oracle replica: same md5-48bit keys, same affine permutations."""
     a, b = dedup.minhash_params(num_hashes, seed)
     toks = " ".join(text_str.lower().split()).split(" ")
     if len(toks) >= n:
         shs = set(" ".join(toks[i:i+n]) for i in range(len(toks) - n + 1))
     else:
         shs = {" ".join(toks)}
-    keys = [zlib.crc32(s.encode()) for s in shs]
+    keys = [
+        int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in shs
+    ]
     P = dedup._MERSENNE_P
     return [min(((x % P) * a[i] + b[i]) % P for x in keys) for i in range(num_hashes)]
 
@@ -103,9 +105,13 @@ def test_simhash(spark, docs_df):
     # unrelated docs -> larger hamming than near-dups
     ham_far = bin((sh[0] ^ sh[3]) & ((1 << 64) - 1)).count("1")
     assert ham_far > ham
-    pairs = dedup.simhash_pairs(docs_df, max_hamming=16).collect()
+    # 60-bit simhash: blocks=20 (width 3) guarantees recall to hamming 19
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=16, blocks=20).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert (0, 2) in got and (0, 5) in got
+    # recall guarantee violated -> explicit error, not silent misses
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs_df, max_hamming=6, blocks=6)
 
 
 @pytest.fixture(scope="module")

@@ -38,6 +38,22 @@ def test_kernel_matches_join_based(spark):
         assert math.isclose(join_based[k], kernel[k], rel_tol=1e-9, abs_tol=1e-12)
 
 
+def test_pagerank_auto_strategy_threshold(spark):
+    """strategy='auto' picks the kernel below the vertex threshold and the
+    join path above it; both sides of the switch produce golden values."""
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    via_kernel = {r["id"]: r["rank"] for r in
+                  pagerank(g, maxiter=50, tolerance=1e-7,
+                           strategy="auto", kernel_max_vertices=100).collect()}
+    # threshold below |V| -> join path
+    via_join = {r["id"]: r["rank"] for r in
+                pagerank(g, maxiter=50, tolerance=1e-7,
+                         strategy="auto", kernel_max_vertices=1).collect()}
+    for node, expected in GOLDEN_EXPECTED.items():
+        assert math.isclose(via_kernel[node], expected, rel_tol=1e-5)
+        assert math.isclose(via_join[node], expected, rel_tol=1e-5)
+
+
 def test_kernel_blocks_reuse(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     eb = build_edge_blocks(g, num_blocks=2)
