@@ -696,6 +696,36 @@ SELECT round(min(cv), 6) AS flow FROM cutv"""
     )
 
 
+def _betweenness_sql() -> str:
+    """Exact weighted betweenness on the (tiny) directed event-type graph
+    via recursive simple-path enumeration: sigma(s,t) over min-cost paths,
+    interior-node visit fractions summed — matches Brandes with
+    sources == targets == all nodes, normalize=False. Edge weights are
+    integer counts (exact double sums), so cost equality is exact."""
+    return (
+        "WITH RECURSIVE "
+        + _SQL_EVENT_TYPE.strip().rstrip(",")
+        + """
+, paths(s, t, cost, pathlist) AS (
+    SELECT src, dst, weight, [src, dst] FROM de
+    UNION ALL
+    SELECT p.s, d.dst, p.cost + d.weight, list_append(p.pathlist, d.dst)
+    FROM paths p JOIN de d ON p.t = d.src
+    WHERE NOT list_contains(p.pathlist, d.dst)),
+mind AS (SELECT s, t, min(cost) AS mc FROM paths WHERE s <> t GROUP BY 1, 2),
+sp AS (SELECT p.s, p.t, p.pathlist
+       FROM paths p JOIN mind m ON p.s = m.s AND p.t = m.t AND p.cost = m.mc),
+sig AS (SELECT s, t, count(*) AS sigma FROM sp GROUP BY 1, 2),
+inter AS (SELECT s, t, unnest(pathlist[2:len(pathlist) - 1]) AS v FROM sp),
+cnt AS (SELECT s, t, v, count(*) AS through FROM inter GROUP BY 1, 2, 3),
+bt AS (SELECT c.v AS id, sum(c.through::double / g.sigma) AS b
+       FROM cnt c JOIN sig g ON c.s = g.s AND c.t = g.t
+       GROUP BY c.v)
+SELECT n.id, round(coalesce(bt.b, 0.0), 6) AS betweenness
+FROM dnodes n LEFT JOIN bt ON n.id = bt.id ORDER BY n.id"""
+    )
+
+
 # --------------------------------------------------------------- dedup sql
 _TK_SQL = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
@@ -1243,6 +1273,7 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "closeness_subset": _closeness_sql(CLOSENESS_UNROLL, 8),
         "maximal_independent_set": _mis_sql(MIS_UNROLL, MIS_SEED),
         "ties_sample": _ties_sql(TIES_P, TIES_SEED),
+        "betweenness_subset": _betweenness_sql(),
         "coloring_greedy": _coloring_sql(COLORING_UNROLL, COLORING_SEED),
         "random_walk": _rw_sql(RW_WALKS, RW_STEPS, RW_JUMP, RW_SEED),
         "apsp_subset": _apsp_sql(APSP_UNROLL, APSP_SOURCES),

@@ -116,6 +116,13 @@ def main() -> None:
     timed("copurchase_lpa_10r",
           lambda: label_propagation_community(g_c, fixed_rounds=10).count())
     timed("copurchase_triangles", lambda: triangle_count(g_c))
+    # 100 fixed supersteps, one Spark job each (observe-based stats) — the
+    # round-2 rework target: prior shape ran 2-4 driver actions per superstep
+    from metagraph_spark.operators.centrality import katz_centrality
+
+    timed("copurchase_katz_100iter",
+          lambda: katz_centrality(
+              g_c, attenuation_factor=1e-4, fixed_iterations=100).count())
     g_c.unpersist()
 
     # ---- pipeline ops -----------------------------------------------------

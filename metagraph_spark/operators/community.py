@@ -128,7 +128,16 @@ def _one_refinement_sweep(graph: Graph, labels: DataFrame) -> DataFrame:
 
 
 def louvain_community(graph: Graph, lpa_rounds: int = 20) -> tuple[DataFrame, float]:
-    """Return ``(labels_df, modularity)``; labels cover every node."""
+    """APPROXIMATE Louvain: LPA seeding + ONE greedy modularity-refinement
+    sweep — NOT the full multi-level Louvain of the reference's
+    python-louvain backend (``plugins/networkx/algorithms.py:603-615``).
+
+    The reference abstract contract is "one step of the Louvain algorithm"
+    with a weak test (modularity > 0.45,
+    ``tests/algorithms/test_clustering.py:176-183``), which this satisfies;
+    callers needing the exact python-louvain partition should treat this as
+    ``louvain_step_approx``. Returns ``(labels_df, modularity)``; labels
+    cover every node and the higher-modularity of (seed, refined) wins."""
     if graph.is_directed:
         raise GraphPropertyError("louvain requires an undirected graph")
     labels = label_propagation_community(graph, max_rounds=lpa_rounds)
