@@ -49,6 +49,9 @@ BLOCK_SCHEMA = "block int, dst_lo long, srcs array<int>, dsts array<int>"
 # (core/dask/loader.py:153-240) — same idea, files + process cache instead
 # of a scheduler plugin.
 _BLOCK_CACHE: dict = {}
+# per-worker cache of the assembled previous-iteration rank vector (one
+# entry at a time) + the static inv-degree vector, keyed by (run_dir, iter)
+_VEC_CACHE: dict = {}
 
 
 class EdgeBlocks:
@@ -59,12 +62,14 @@ class EdgeBlocks:
     blocks once (no per-superstep JVM→Python Arrow streaming of edges)."""
 
     def __init__(self, blocks_df: DataFrame, node_ids: np.ndarray,
-                 out_deg: np.ndarray, manifest: DataFrame | None = None):
+                 out_deg: np.ndarray, manifest: DataFrame | None = None,
+                 spill_dir: str | None = None):
         self.blocks = blocks_df
         self.node_ids = node_ids      # sorted original ids, position = index
         self.out_deg = out_deg        # out-degree per position
         self.n = len(node_ids)
         self.manifest = manifest      # (path, dst_lo) rows when file-backed
+        self.spill_dir = spill_dir    # set when file-backed
 
     def unpersist(self) -> None:
         if self.blocks is not None:
@@ -163,7 +168,8 @@ def build_edge_blocks(
     # unpersist (not destroy): the cached blocks' lineage references the
     # broadcast; a cache-miss recomputation must be able to re-fetch it
     bc_ids.unpersist()
-    eb = EdgeBlocks(blocks, node_ids, out_deg, manifest=manifest)
+    eb = EdgeBlocks(blocks, node_ids, out_deg, manifest=manifest,
+                    spill_dir=spill_dir)
     if spill_dir is not None:
         _save_metadata(eb, spill_dir)
     return eb
@@ -196,7 +202,145 @@ def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
         len(rows)
     ).persist()
     manifest.count()
-    return EdgeBlocks(None, node_ids, out_deg, manifest=manifest)
+    return EdgeBlocks(None, node_ids, out_deg, manifest=manifest,
+                      spill_dir=spill_dir)
+
+
+def _distributed_superstep_loop(
+    spark,
+    eb: EdgeBlocks,
+    inv_deg: np.ndarray,
+    damping: float,
+    total: int,
+    tolerance: float,
+    fixed_iterations: int | None,
+    metrics_sink: list | None,
+):
+    """Fully distributed supersteps for file-backed blocks with FULL block
+    coverage: the rank vector NEVER crosses the driver during iteration.
+
+    Each task gathers its dst-slice (bincount over its CSR block, weights
+    read from the previous iteration's slice files via a per-worker
+    assembled cache), applies the rank update with the two driver scalars
+    (dangling mass, base) folded in as constants, WRITES its new slice, and
+    returns only (err, dangling-mass) partial scalars. The driver per
+    superstep does: schedule one job + sum ~num_blocks scalar rows — no
+    O(V) serialization, no per-worker broadcast fetch. This removes the
+    measured ~1 s/superstep serial driver fraction that capped thread
+    scaling (on a cluster the slice files live on a shared store / shuffle
+    service; the broadcast path below remains the no-shared-fs fallback).
+
+    Returns the final rank vector, or None if coverage is partial (caller
+    falls back to the legacy loop)."""
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    n = eb.n
+    rows = [(r["path"], int(r["dst_lo"])) for r in eb.manifest.collect()]
+    nb = len(rows)
+    los = sorted(lo for _, lo in rows)
+    if nb == 0 or los != [k * n // nb for k in range(nb)]:
+        return None  # empty ranges -> legacy loop handles them
+    hi_of = {k * n // nb: (k + 1) * n // nb for k in range(nb)}
+    run_dir = os.path.join(eb.spill_dir, f"run_{uuid.uuid4().hex[:12]}")
+    os.makedirs(run_dir, exist_ok=True)
+    np.save(os.path.join(run_dir, "invdeg.npy"), inv_deg)
+    np.save(os.path.join(run_dir, "r0.npy"), np.full(n, 1.0 / n))
+    slice_meta = sorted((lo, hi_of[lo]) for _, lo in rows)
+    danglesum = float((inv_deg == 0.0).sum()) / n  # of the uniform r0
+    base = (1.0 - damping) / n
+    err = None
+
+    def _slice_path(iteration: int, lo: int) -> str:
+        return os.path.join(run_dir, f"s_{iteration:05d}_{lo}.npy")
+
+    for it in range(total):
+        const_term = damping * danglesum / n + base
+        cur = it
+
+        def step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            key = (run_dir, cur)
+            prev = _VEC_CACHE.get(key)
+            if prev is None:
+                if cur == 0:
+                    prev = np.load(os.path.join(run_dir, "r0.npy"))
+                else:
+                    prev = np.empty(n)
+                    for lo2, hi2 in slice_meta:
+                        prev[lo2:hi2] = np.load(_slice_path(cur - 1, lo2))
+                # keep exactly one vector (plus invdeg) per worker
+                for k in [k for k in _VEC_CACHE if k[0] == run_dir and k != (run_dir, "inv")]:
+                    del _VEC_CACHE[k]
+                _VEC_CACHE[key] = prev
+            inv = _VEC_CACHE.get((run_dir, "inv"))
+            if inv is None:
+                inv = np.load(os.path.join(run_dir, "invdeg.npy"))
+                _VEC_CACHE[(run_dir, "inv")] = inv
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    cached = _BLOCK_CACHE.get(row["path"])
+                    if cached is None:
+                        with np.load(row["path"]) as z:
+                            cached = (
+                                z["srcs"].astype(np.int64),
+                                z["dsts"].astype(np.int64),
+                            )
+                        _BLOCK_CACHE[row["path"]] = cached
+                    srcs, dsts = cached
+                    lo = int(row["dst_lo"])
+                    hi = hi_of[lo]  # static evenly-spaced ranges
+                    width = hi - lo
+                    w = prev[srcs] * inv[srcs]
+                    g = np.bincount(dsts, weights=w, minlength=width)[:width]
+                    new_slice = damping * g + const_term
+                    # atomic write (task retries must not corrupt a slice)
+                    tmp = _slice_path(cur, lo) + ".tmp"
+                    with open(tmp, "wb") as f:
+                        np.save(f, new_slice)
+                    os.replace(tmp, _slice_path(cur, lo))
+                    prev_slice = prev[lo:hi]
+                    inv_slice = inv[lo:hi]
+                    yield pd.DataFrame(
+                        {
+                            "dst_lo": [np.int64(lo)],
+                            "err": [float(np.abs(new_slice - prev_slice).sum())],
+                            "dangle": [float(new_slice[inv_slice == 0.0].sum())],
+                        }
+                    )
+
+        out = eb.manifest.mapInPandas(
+            step, schema="dst_lo long, err double, dangle double"
+        ).toPandas()
+        if set(out["dst_lo"]) != {lo for lo, _ in slice_meta}:
+            shutil.rmtree(run_dir, ignore_errors=True)
+            raise RuntimeError("distributed superstep lost a slice")
+        err = float(out["err"].sum())
+        danglesum = float(out["dangle"].sum())
+        if metrics_sink is not None:
+            metrics_sink.append({"iteration": it, "l1_error": err})
+        if it >= 1:
+            for lo, _ in slice_meta:
+                try:
+                    os.unlink(_slice_path(it - 1, lo))
+                except FileNotFoundError:
+                    pass
+        if fixed_iterations is None and err < n * tolerance:
+            total = it + 1
+            break
+    else:
+        if fixed_iterations is None:
+            shutil.rmtree(run_dir, ignore_errors=True)
+            raise ConvergenceError(
+                f"pagerank_kernel failed to converge (err={err!r})"
+            )
+    r = np.empty(n)
+    for lo, hi in slice_meta:
+        r[lo:hi] = np.load(_slice_path(total - 1, lo))
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return r
 
 
 def pagerank_kernel(
@@ -210,7 +354,10 @@ def pagerank_kernel(
     """PageRank via the CSR/Arrow kernel. Returns ``(id, rank)``.
 
     Accepts a Graph (builds blocks internally) or a prebuilt EdgeBlocks
-    (amortize the layout across runs)."""
+    (amortize the layout across runs). File-backed blocks with full range
+    coverage run the fully distributed superstep loop (rank vector never
+    crosses the driver, see ``_distributed_superstep_loop``); otherwise the
+    broadcast/collect loop below runs."""
     if isinstance(graph_or_blocks, EdgeBlocks):
         eb = graph_or_blocks
         owned = False
@@ -235,12 +382,43 @@ def pagerank_kernel(
     file_backed = eb.manifest is not None
     source_df = eb.manifest if file_backed else eb.blocks
 
+    if file_backed and eb.spill_dir:
+        r_dist = _distributed_superstep_loop(
+            spark, eb, inv_deg, damping, total, tolerance,
+            fixed_iterations, metrics_sink,
+        )
+        if r_dist is not None:
+            result = spark.createDataFrame(
+                pd.DataFrame({"id": eb.node_ids, "rank": r_dist}),
+                schema="id long, rank double",
+            )
+            if owned:
+                eb.unpersist()
+            return result
+
+    vec_dir = None  # legacy loop: broadcast distribution
+
     for it in range(total):
         contrib = r * inv_deg
-        bc = sc.broadcast(contrib)
+        if vec_dir is not None:
+            import os
+            import uuid
+
+            vec_path = os.path.join(
+                vec_dir, f"contrib_{uuid.uuid4().hex[:12]}.npy"
+            )
+            np.save(vec_path, contrib)
+            bc = None
+        else:
+            vec_path = None
+            bc = sc.broadcast(contrib)
 
         def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            c = bc.value
+            c = (
+                np.load(vec_path, mmap_mode="r")
+                if vec_path is not None
+                else bc.value
+            )
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     if file_backed:
@@ -256,7 +434,7 @@ def pagerank_kernel(
                     else:
                         srcs = np.asarray(row["srcs"], dtype=np.int64)
                         dsts = np.asarray(row["dsts"], dtype=np.int64)
-                    g = np.bincount(dsts, weights=c[srcs])
+                    g = np.bincount(dsts, weights=np.asarray(c)[srcs])
                     # one array row per block (dense dst-range slice):
                     # minimal Arrow row overhead on the collect path
                     yield pd.DataFrame(
@@ -266,7 +444,12 @@ def pagerank_kernel(
         out = source_df.mapInPandas(
             gather, schema="dst_lo long, g array<double>"
         ).toPandas()
-        bc.unpersist()
+        if bc is not None:
+            bc.unpersist()
+        if vec_path is not None:
+            import os
+
+            os.unlink(vec_path)
         # each edge contributes to exactly one block, but a block's bincount
         # slice may carry leading zeros below its true min position — so
         # accumulate (+=), never assign, to avoid clobbering a neighbor's

@@ -95,6 +95,37 @@ def test_minhash_lsh_finds_near_dups(spark, docs_df):
     assert (0, 1) in got
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """One boilerplate cluster hashing to a single LSH bucket must not make
+    the candidate join quadratic: buckets over max_bucket_size are dropped
+    (docs in them still pair through other, smaller bands; identical
+    boilerplate is the exact-dedup path's job). Bounded time + correct
+    survivors."""
+    import time as _time
+
+    boiler = "this exact license header boilerplate appears on every file"
+    rows = [(i, boiler) for i in range(5000)]
+    rows += [
+        (10_000, "a unique document all about spark shuffles and joins"),
+        (10_001, "a unique document all about spark shuffles and join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = _time.time()
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.5, max_bucket_size=100
+    ).collect()
+    dt = _time.time() - t0
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the 5000-doc boilerplate cluster was dropped from candidates entirely
+    assert not any(a < 5000 and b < 5000 for a, b in got)
+    # small buckets still pair: the near-dup unique pair survives
+    assert (10_000, 10_001) in got
+    assert dt < 120, f"hot bucket not bounded: {dt:.1f}s"
+    # ...and the exact path catches the boilerplate cluster regardless
+    groups = dedup.exact_duplicates(docs).collect()
+    assert {r["doc_id"] for r in groups} == set(range(5000))
+
+
 def test_simhash(spark, docs_df):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_64(docs_df).collect()}
     # normalized-identical docs -> identical simhash

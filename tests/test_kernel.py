@@ -54,6 +54,28 @@ def test_pagerank_auto_strategy_threshold(spark):
         assert math.isclose(via_join[node], expected, rel_tol=1e-5)
 
 
+def test_kernel_file_backed_distributed_golden(spark, tmp_path):
+    """File-backed blocks take the fully distributed superstep loop (rank
+    vector never on the driver) — must still produce the golden values and
+    agree with the in-memory path."""
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2, spill_dir=str(tmp_path / "blocks"))
+    got = {r["id"]: r["rank"] for r in
+           pagerank_kernel(eb, damping=0.85, maxiter=50, tolerance=1e-7).collect()}
+    for node, expected in GOLDEN_EXPECTED.items():
+        assert math.isclose(got[node], expected, rel_tol=1e-5), (node, got[node])
+    # fixed-iteration parity with the in-memory (broadcast/collect) path
+    mem = build_edge_blocks(g, num_blocks=2)
+    a = {r["id"]: r["rank"] for r in
+         pagerank_kernel(eb, fixed_iterations=7).collect()}
+    b = {r["id"]: r["rank"] for r in
+         pagerank_kernel(mem, fixed_iterations=7).collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
+    eb.unpersist()
+    mem.unpersist()
+
+
 def test_kernel_blocks_reuse(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     eb = build_edge_blocks(g, num_blocks=2)
