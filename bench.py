@@ -72,8 +72,13 @@ def main() -> None:
     # Zipf-skewed (hub vertices) — the representative 10^12-turn workload
     t = synthesize_transcripts(spark, N_CONVS)
     g_t, _labels = transcript_graph(t, "conv_tool_bipartite")
-    g_t = g_t.partition_by_src()
     n_edges_t = g_t.num_edges()
+    # size-aware partitioning: ~50k edges per partition, min 8, capped at
+    # 2x cores — at 10^12 edges this caps at cluster width, at toy scale it
+    # stops per-superstep task-scheduling overhead from dominating
+    n_part = max(8, min(CPUS * 2, n_edges_t // 50_000 or 8))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    g_t = g_t.partition_by_src(n_part)
     metrics: list[dict] = []
     t0 = time.time()
     ranks = pagerank(g_t, maxiter=100, tolerance=1e-6, metrics_sink=metrics)
@@ -106,6 +111,8 @@ def main() -> None:
 
     timed("transcript_cc", lambda: connected_components(g_t).count())
     g_t.unpersist()
+    extras["transcript_partitions"] = n_part
+    spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
 
     # ---- co-purchase graph ------------------------------------------------
     g_c = timed("copurchase_build", lambda: copurchase_graph(spark, SF_DIR).partition_by_src())

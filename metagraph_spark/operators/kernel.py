@@ -248,33 +248,36 @@ def _distributed_superstep_loop(
     run_dir = os.path.join(eb.spill_dir, f"run_{uuid.uuid4().hex[:12]}")
     os.makedirs(run_dir, exist_ok=True)
     np.save(os.path.join(run_dir, "invdeg.npy"), inv_deg)
-    np.save(os.path.join(run_dir, "r0.npy"), np.full(n, 1.0 / n))
     slice_meta = sorted((lo, hi_of[lo]) for _, lo in rows)
     danglesum = float((inv_deg == 0.0).sum()) / n  # of the uniform r0
     base = (1.0 - damping) / n
     err = None
 
-    def _slice_path(iteration: int, lo: int) -> str:
-        return os.path.join(run_dir, f"s_{iteration:05d}_{lo}.npy")
+    def _vec_path(iteration: int) -> str:
+        return os.path.join(run_dir, f"r_{iteration:05d}.npy")
+
+    # iteration vectors are SINGLE memmap files: tasks write their disjoint
+    # dst ranges in place (concurrent disjoint writes are safe), readers
+    # mmap the previous file — zero assembly, zero copies, page-cache
+    # shared across every worker on the host. The driver only creates the
+    # (sparse) file header per superstep.
+    init = np.lib.format.open_memmap(
+        _vec_path(-1), mode="w+", dtype=np.float64, shape=(n,)
+    )
+    init[:] = 1.0 / n
+    init.flush()
+    del init
 
     for it in range(total):
         const_term = damping * danglesum / n + base
         cur = it
+        np.lib.format.open_memmap(
+            _vec_path(cur), mode="w+", dtype=np.float64, shape=(n,)
+        ).flush()
 
         def step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            key = (run_dir, cur)
-            prev = _VEC_CACHE.get(key)
-            if prev is None:
-                if cur == 0:
-                    prev = np.load(os.path.join(run_dir, "r0.npy"))
-                else:
-                    prev = np.empty(n)
-                    for lo2, hi2 in slice_meta:
-                        prev[lo2:hi2] = np.load(_slice_path(cur - 1, lo2))
-                # keep exactly one vector (plus invdeg) per worker
-                for k in [k for k in _VEC_CACHE if k[0] == run_dir and k != (run_dir, "inv")]:
-                    del _VEC_CACHE[k]
-                _VEC_CACHE[key] = prev
+            prev = np.load(_vec_path(cur - 1), mmap_mode="r")
+            out_vec = np.load(_vec_path(cur), mmap_mode="r+")
             inv = _VEC_CACHE.get((run_dir, "inv"))
             if inv is None:
                 inv = np.load(os.path.join(run_dir, "invdeg.npy"))
@@ -296,11 +299,7 @@ def _distributed_superstep_loop(
                     w = prev[srcs] * inv[srcs]
                     g = np.bincount(dsts, weights=w, minlength=width)[:width]
                     new_slice = damping * g + const_term
-                    # atomic write (task retries must not corrupt a slice)
-                    tmp = _slice_path(cur, lo) + ".tmp"
-                    with open(tmp, "wb") as f:
-                        np.save(f, new_slice)
-                    os.replace(tmp, _slice_path(cur, lo))
+                    out_vec[lo:hi] = new_slice
                     prev_slice = prev[lo:hi]
                     inv_slice = inv[lo:hi]
                     yield pd.DataFrame(
@@ -310,6 +309,7 @@ def _distributed_superstep_loop(
                             "dangle": [float(new_slice[inv_slice == 0.0].sum())],
                         }
                     )
+            out_vec.flush()
 
         out = eb.manifest.mapInPandas(
             step, schema="dst_lo long, err double, dangle double"
@@ -322,11 +322,10 @@ def _distributed_superstep_loop(
         if metrics_sink is not None:
             metrics_sink.append({"iteration": it, "l1_error": err})
         if it >= 1:
-            for lo, _ in slice_meta:
-                try:
-                    os.unlink(_slice_path(it - 1, lo))
-                except FileNotFoundError:
-                    pass
+            try:
+                os.unlink(_vec_path(it - 2))
+            except FileNotFoundError:
+                pass
         if fixed_iterations is None and err < n * tolerance:
             total = it + 1
             break
@@ -336,9 +335,7 @@ def _distributed_superstep_loop(
             raise ConvergenceError(
                 f"pagerank_kernel failed to converge (err={err!r})"
             )
-    r = np.empty(n)
-    for lo, hi in slice_meta:
-        r[lo:hi] = np.load(_slice_path(total - 1, lo))
+    r = np.array(np.load(_vec_path(total - 1), mmap_mode="r"))
     shutil.rmtree(run_dir, ignore_errors=True)
     return r
 
