@@ -49,8 +49,11 @@ from metagraph_spark.operators.pagerank import pagerank
 from metagraph_spark.operators.coloring import greedy_coloring
 from metagraph_spark.operators.flow import max_flow, min_cut
 from metagraph_spark.operators.subgraph import (
+    edge_sampling,
     k_core,
+    k_truss,
     maximal_independent_set,
+    node_sampling,
     random_walk_sampling,
     totally_induced_edge_sampling,
 )
@@ -523,6 +526,64 @@ sym{r + 1} AS (
     )
 
 
+KTRUSS_UNROLL = 4  # fixpoint at sf0.01 is 2 rounds
+SAMPLE_P = 0.3
+SAMPLE_SEED = 42
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled triangle-support peel (fixpoint + margin) on the canonical
+    co-purchase edges; keeps edges in ≥ k-2 triangles within the truss."""
+    need = k - 2
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "kt0 AS (SELECT src, dst FROM e)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""tri{r} AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM kt{r} e1 JOIN kt{r} e2 ON e1.dst = e2.src
+  JOIN kt{r} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+sup{r} AS (
+  SELECT src, dst, count(*) AS s FROM (
+    SELECT a AS src, b AS dst FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r}) GROUP BY 1, 2),
+kt{r + 1} AS (
+  SELECT k.src, k.dst FROM kt{r} k
+  JOIN sup{r} s ON k.src = s.src AND k.dst = s.dst
+  WHERE s.s >= {need})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src, dst FROM kt{rounds} ORDER BY src, dst"
+    )
+
+
+def _node_sample_sql(p: float, seed: int) -> str:
+    keep = _bernoulli31_sql("id", p, seed, 101)
+    return (
+        "WITH "
+        + _SQL_COPURCHASE.strip().rstrip(",")
+        + f"""
+, ns AS (SELECT id FROM nodes WHERE {keep})
+SELECT src, dst, weight FROM e
+WHERE src IN (SELECT id FROM ns) AND dst IN (SELECT id FROM ns)
+ORDER BY src, dst"""
+    )
+
+
+def _edge_sample_sql(p: float, seed: int) -> str:
+    key = f"((src % {_P31}) * 8191 + (dst % {_P31})) % {_P31}"
+    keep = _bernoulli31_sql(key, p, seed, 202)
+    return (
+        "WITH "
+        + _SQL_COPURCHASE.strip().rstrip(",")
+        + f"\nSELECT src, dst, weight FROM e WHERE {keep} ORDER BY src, dst"
+    )
+
+
 def _ties_sql(p: float, seed: int) -> str:
     """TIES sample: mix31-Bernoulli edge pick, then totally induced."""
     key = f"((src % {_P31}) * 8191 + (dst % {_P31})) % {_P31}"
@@ -992,6 +1053,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         totally_induced_edge_sampling(_copurchase_graph(spark, sf), 0.3)
         .edges.orderBy("src", "dst")
     )
+    q["node_sample"] = lambda spark, sf: (
+        node_sampling(_copurchase_graph(spark, sf), SAMPLE_P, SAMPLE_SEED)
+        .edges.orderBy("src", "dst")
+    )
+    q["edge_sample"] = lambda spark, sf: (
+        edge_sampling(_copurchase_graph(spark, sf), SAMPLE_P, SAMPLE_SEED)
+        .edges.orderBy("src", "dst")
+    )
+    q["k_truss_4"] = lambda spark, sf: (
+        k_truss(_copurchase_graph(spark, sf), 4).edges.orderBy("src", "dst")
+    )
     # fixed-iteration variants: the DuckDB oracle unrolls the identical k
     # updates, so values match exactly (after round-6)
     q["katz"] = lambda spark, sf: (
@@ -1273,6 +1345,9 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "closeness_subset": _closeness_sql(CLOSENESS_UNROLL, 8),
         "maximal_independent_set": _mis_sql(MIS_UNROLL, MIS_SEED),
         "ties_sample": _ties_sql(TIES_P, TIES_SEED),
+        "node_sample": _node_sample_sql(SAMPLE_P, SAMPLE_SEED),
+        "edge_sample": _edge_sample_sql(SAMPLE_P, SAMPLE_SEED),
+        "k_truss_4": _ktruss_sql(4, KTRUSS_UNROLL),
         "betweenness_subset": _betweenness_sql(),
         "coloring_greedy": _coloring_sql(COLORING_UNROLL, COLORING_SEED),
         "random_walk": _rw_sql(RW_WALKS, RW_STEPS, RW_JUMP, RW_SEED),
