@@ -939,6 +939,28 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b"""
 
 
+_MEDIA_BYTE_STATS_SQL = r"""
+WITH f AS (SELECT doc_id,
+                  unnest(list_transform(range(length(text)),
+                         i -> ord(substr(text, (i+1)::INT, 1)))) AS v
+           FROM documents),
+h AS (SELECT doc_id, v, count(*) AS c FROM f GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n FROM h GROUP BY 1),
+agg AS (SELECT h.doc_id,
+               sum(h.c * h.v)::double / max(tot.n) AS mb,
+               -sum((h.c::double / tot.n) * log2(h.c::double / tot.n)) AS e,
+               count(*) AS nd,
+               max(tot.n) AS n
+        FROM h JOIN tot ON h.doc_id = tot.doc_id GROUP BY h.doc_id)
+SELECT d.doc_id AS media_id,
+       coalesce(a.n, 0) AS n_bytes,
+       round(coalesce(a.mb, 0.0), 6) AS mean_byte,
+       round(coalesce(a.e, 0.0), 6) AS byte_entropy,
+       coalesce(a.nd, 0) AS n_distinct
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY media_id"""
+
+
 _DEDUP_CLUSTERS_SQL = r"""
 WITH n AS (SELECT doc_id,
                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
@@ -1288,6 +1310,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mdedup.duplicate_clusters(docs, pairs).orderBy("doc_id")
 
     q["dedup_clusters"] = _dedup_clusters
+
+    def _media_byte_stats(spark, sf):
+        """REAL byte-level media screen over text payloads (documents are
+        pure ASCII, so the DuckDB codepoint oracle sees identical bytes)."""
+        from metagraph_spark.functions.multimodal import byte_features
+
+        media = read_table(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        return (
+            byte_features(media)
+            .select(
+                "media_id",
+                "n_bytes",
+                F.round("mean_byte", 6).alias("mean_byte"),
+                F.round("byte_entropy", 6).alias("byte_entropy"),
+                "n_distinct",
+            )
+            .orderBy("media_id")
+        )
+
+    q["media_byte_stats"] = _media_byte_stats
     q["text_stats"] = lambda spark, sf: (
         read_table(spark, sf, "documents").select(
             "doc_id",
@@ -1434,6 +1479,7 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "dedup_minhash_lsh": _minhash_sql(64, 16, 0.8, 42),
         "dedup_simhash": _simhash_sql(3, 42),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "media_byte_stats": _MEDIA_BYTE_STATS_SQL,
         "dedup_exact_counts": r"""
 SELECT doc_id,
        count(*) OVER (

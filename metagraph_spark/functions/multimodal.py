@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/resize/feature kernels are STUBS (the image/audio libraries are
-not in this container): each raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder exercises the
-full Spark-side path — schema, partitioning, Arrow batch shape, UDF
-signature — which IS real and tested.
+Two tiers:
+
+1. REAL byte-level operators (no codecs required — what a 100 TB media
+   pipeline runs BEFORE any decode): :func:`byte_features` (length, mean
+   byte, Shannon entropy, distinct-byte count — corruption screening and
+   quality filters), :func:`chunk_fingerprints` (chunk-level md5 for
+   partial-duplicate detection), :func:`exact_media_duplicates` (payload
+   md5 groups). All vectorized (numpy over Arrow batches, or pure JVM
+   expressions).
+2. Codec-dependent kernels (decode/resize/frame-extract) are STUBS — the
+   image/audio libraries are not in this container: each raises
+   NotImplementedError unless ``fake=True``, in which case a deterministic
+   fake decoder exercises the full Spark-side path — schema, partitioning,
+   Arrow batch shape, UDF signature — which IS real and tested.
 
 Design (scale-first):
 - media rows are ``(media_id: long, kind: string, payload: binary,
@@ -52,6 +61,103 @@ def synthesize_media(
             .cast("int")
             .alias("n_frames"),
         ).alias("meta"),
+    )
+
+
+BYTE_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, mean_byte double, byte_entropy double, "
+    "n_distinct long"
+)
+
+
+def byte_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL byte-level payload statistics (no codec needed):
+    ``(media_id, n_bytes, mean_byte, byte_entropy, n_distinct)``.
+
+    Shannon entropy over the byte histogram + mean byte + distinct count —
+    the standard pre-decode screens (truncation/corruption detection,
+    format sanity, low-information filtering) for binary columns at scale.
+    One numpy pass per Arrow batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, means, ents, nd = [], [], [], []
+            for p in pdf[payload_col]:
+                arr = np.frombuffer(p or b"", dtype=np.uint8)
+                n = len(arr)
+                n_bytes.append(n)
+                if n == 0:
+                    means.append(0.0)
+                    ents.append(0.0)
+                    nd.append(0)
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                nz = counts[counts > 0]
+                probs = nz / n
+                means.append(float(arr.sum()) / n)
+                ents.append(float(-(probs * np.log2(probs)).sum()))
+                nd.append(int(len(nz)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "mean_byte": means,
+                    "byte_entropy": ents,
+                    "n_distinct": nd,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=BYTE_FEATURE_SCHEMA)
+
+
+def chunk_fingerprints(
+    media: DataFrame,
+    chunk_bytes: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """``(media_id, chunk_idx, chunk_hash)`` — md5 per fixed-size payload
+    chunk, pure JVM expressions (binary substring + transform + explode).
+    Chunk-level fingerprints catch partial duplicates (same video, new
+    watermark; same image, re-encoded tail) that whole-payload hashing
+    misses."""
+    n_chunks = F.ceil(F.length(payload_col) / F.lit(chunk_bytes)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.md5(
+                F.substring(
+                    F.col(payload_col), i * chunk_bytes + 1, chunk_bytes
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return media.select(
+        F.col(id_col).alias("media_id"), F.explode(chunks).alias("c")
+    ).select("media_id", "c.chunk_idx", "c.chunk_hash")
+
+
+def exact_media_duplicates(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """``(media_id, group_hash, keep)`` exact payload duplicates via md5
+    groupBy — one shuffle, JVM-side (binary twin of text exact dedup)."""
+    keyed = media.select(
+        F.col(id_col).alias("media_id"),
+        F.md5(F.col(payload_col)).alias("group_hash"),
+    )
+    grp = keyed.groupBy("group_hash").agg(F.min("media_id").alias("_keeper"))
+    return keyed.join(grp, "group_hash").select(
+        "media_id",
+        "group_hash",
+        (F.col("media_id") == F.col("_keeper")).alias("keep"),
     )
 
 

@@ -232,3 +232,31 @@ def test_multimodal_pipeline(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_byte_features_real(spark):
+    from metagraph_spark.functions.multimodal import (
+        byte_features,
+        chunk_fingerprints,
+        exact_media_duplicates,
+    )
+    import math as _math
+
+    rows = [(0, b"aaaa"), (1, b"abab"), (2, b"aaaa"), (3, b"")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in byte_features(media).collect()}
+    assert got[0]["n_bytes"] == 4 and got[0]["n_distinct"] == 1
+    assert got[0]["byte_entropy"] == 0.0
+    assert _math.isclose(got[1]["byte_entropy"], 1.0)  # two equiprobable bytes
+    assert _math.isclose(got[1]["mean_byte"], (97 + 98) / 2)
+    assert got[3]["n_bytes"] == 0 and got[3]["byte_entropy"] == 0.0
+    # chunk fingerprints: identical payloads share all chunk hashes
+    ch = chunk_fingerprints(media.filter("media_id < 3"), chunk_bytes=2).collect()
+    by_id = {}
+    for r in ch:
+        by_id.setdefault(r["media_id"], []).append((r["chunk_idx"], r["chunk_hash"]))
+    assert sorted(by_id[0]) == sorted(by_id[2])
+    assert sorted(by_id[0]) != sorted(by_id[1])
+    # exact duplicates: 0 and 2 grouped, keeper = min id
+    dup = {r["media_id"]: r["keep"] for r in exact_media_duplicates(media).collect()}
+    assert dup[0] is True and dup[2] is False and dup[1] is True
