@@ -49,6 +49,75 @@ def tool_activity_counts(
     )
 
 
+def process_edge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    edge_table_path: str,
+    state_table_path: str,
+) -> None:
+    """One micro-batch of edge maintenance (module-level so the epoch-replay
+    idempotency contract is directly testable). See
+    :func:`start_edge_maintenance` for the per-step description."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    try:
+        carried = spark.read.parquet(state_table_path)
+    except Exception:  # first batch: no state yet
+        carried = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    relevant_convs = batch.select("conv_id").distinct()
+    carried = carried.join(relevant_convs, "conv_id", "left_semi")
+    full = batch.unionByName(carried)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = actor_label(full)
+    pairs = (
+        t.withColumn("_prev", F.lag("_actor").over(w))
+        .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+        .filter(
+            F.col("_prev").isNotNull()
+            # only adjacencies with one endpoint in THIS batch (carried
+            # rows only provide context, their old adjacencies already
+            # counted)
+            & (F.col("turn_idx") > F.coalesce(F.col("_prev_idx"), F.lit(-1)))
+        )
+        .join(batch.select("conv_id", "turn_idx").distinct(),
+              ["conv_id", "turn_idx"], "left_semi")
+        .select(
+            node_id(F.col("_prev"), "actor").alias("src"),
+            node_id(F.col("_actor"), "actor").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight_delta"))
+    )
+    # Idempotent per epoch: Structured Streaming replays the last epoch
+    # after a failure/restart, so a plain append would double-count
+    # deltas. Writing each epoch into its own partition directory with
+    # overwrite makes the replay a no-op-equivalent rewrite; readers
+    # discover `epoch` as a partition column.
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(edge_table_path, f"epoch={epoch_id}")
+    )
+    # new carried state: max turn per conversation seen so far
+    w_last = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    new_state = (
+        full.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        other = spark.read.parquet(state_table_path).join(
+            relevant_convs, "conv_id", "left_anti"
+        )
+        new_state = new_state.unionByName(other)
+    except Exception:
+        pass
+    new_state.write.mode("overwrite").parquet(state_table_path + "_next")
+    # atomic-ish swap via overwrite of the canonical path
+    spark.read.parquet(state_table_path + "_next").write.mode(
+        "overwrite"
+    ).parquet(state_table_path)
+
+
 def start_edge_maintenance(
     stream: DataFrame,
     edge_table_path: str,
@@ -61,70 +130,15 @@ def start_edge_maintenance(
     Every micro-batch:
     1. union the batch with each conversation's carried last-turn row,
     2. window-lag within conv_id to form (prev_actor → actor) pairs,
-    3. append the pair deltas to ``edge_table_path`` (aggregate at read
-       time: weight = sum of deltas, so appends stay idempotent-friendly
-       and contention-free),
+    3. write the pair deltas into this epoch's partition directory
+       (overwrite — so a Structured Streaming epoch REPLAY after
+       failure/restart rewrites the same data instead of double-counting;
+       aggregate at read time: weight = sum of deltas),
     4. upsert the new last turn per conversation into ``state_table_path``.
     """
-    from pyspark.sql import Window
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        try:
-            carried = spark.read.parquet(state_table_path)
-        except Exception:  # first batch: no state yet
-            carried = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
-        relevant_convs = batch.select("conv_id").distinct()
-        carried = carried.join(relevant_convs, "conv_id", "left_semi")
-        full = batch.unionByName(carried)
-        w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        t = actor_label(full)
-        pairs = (
-            t.withColumn("_prev", F.lag("_actor").over(w))
-            .withColumn("_prev_idx", F.lag("turn_idx").over(w))
-            .filter(
-                F.col("_prev").isNotNull()
-                # only adjacencies with one endpoint in THIS batch (carried
-                # rows only provide context, their old adjacencies already
-                # counted)
-                & (F.col("turn_idx") > F.coalesce(F.col("_prev_idx"), F.lit(-1)))
-            )
-            .join(batch.select("conv_id", "turn_idx").distinct(),
-                  ["conv_id", "turn_idx"], "left_semi")
-            .select(
-                node_id(F.col("_prev"), "actor").alias("src"),
-                node_id(F.col("_actor"), "actor").alias("dst"),
-            )
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).cast("double").alias("weight_delta"))
-        )
-        # Idempotent per epoch: Structured Streaming replays the last epoch
-        # after a failure/restart, so a plain append would double-count
-        # deltas. Writing each epoch into its own partition directory with
-        # overwrite makes the replay a no-op-equivalent rewrite; readers
-        # discover `epoch` as a partition column.
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(edge_table_path, f"epoch={epoch_id}")
-        )
-        # new carried state: max turn per conversation seen so far
-        w_last = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
-        new_state = (
-            full.withColumn("_rn", F.row_number().over(w_last))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        try:
-            other = spark.read.parquet(state_table_path).join(
-                relevant_convs, "conv_id", "left_anti"
-            )
-            new_state = new_state.unionByName(other)
-        except Exception:
-            pass
-        new_state.write.mode("overwrite").parquet(state_table_path + "_next")
-        # atomic-ish swap via overwrite of the canonical path
-        spark.read.parquet(state_table_path + "_next").write.mode(
-            "overwrite"
-        ).parquet(state_table_path)
+        process_edge_batch(batch, epoch_id, edge_table_path, state_table_path)
 
     return (
         stream.writeStream.outputMode("append")

@@ -96,6 +96,31 @@ def test_streaming_edge_maintenance(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_epoch_replay_idempotent(spark, tmp_path):
+    """Structured Streaming replays the last epoch after a failure/restart;
+    the epoch-partitioned overwrite write must make the replay a no-op for
+    the aggregated edge view (regression test for the append-double-count
+    bug)."""
+    from metagraph_spark.streaming.ingest_stream import process_edge_batch
+
+    t = synthesize_transcripts(spark, 20).cache()
+    edges_dir = str(tmp_path / "edges")
+    state_dir = str(tmp_path / "state")
+    process_edge_batch(t, 0, edges_dir, state_dir)
+    once = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in current_edges(spark, edges_dir).collect()
+    }
+    # replay the SAME epoch (same input, same epoch_id) — must not change
+    # the aggregated view
+    process_edge_batch(t, 0, edges_dir, state_dir)
+    twice = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in current_edges(spark, edges_dir).collect()
+    }
+    assert once == twice
+
+
 def test_streaming_tool_activity(spark, tmp_path):
     t = synthesize_transcripts(spark, 50)
     src_dir = str(tmp_path / "src2")
