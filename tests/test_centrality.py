@@ -155,3 +155,32 @@ def test_closeness_subset_matches_nx(spark):
     nxg.add_weighted_edges_from(STD_EDGES)
     expected = {v: nx.closeness_centrality(nxg, v, distance="weight") for v in (2, 4, 7)}
     assert_close_map(got, expected, rel_tol=1e-9)
+
+
+def test_closeness_all_nodes_guard(spark, monkeypatch):
+    """closeness over ALL nodes is O(V^2) relaxation state — refused past
+    the guard; an explicit NodeSet subset always works."""
+    import metagraph_spark.operators.centrality as C
+    from metagraph_spark.exceptions import GraphPropertyError
+
+    monkeypatch.setattr(C, "CLOSENESS_ALL_NODES_LIMIT", 3)
+    g = build(
+        df_from_edges(
+            spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], weighted=True
+        ),
+        is_directed=False,
+    )
+    with pytest.raises(GraphPropertyError):
+        C.closeness_centrality(g)  # 4 nodes > patched limit 3
+    out = C.closeness_centrality(g, g.node_ids().limit(2))
+    assert out.count() == 2
+
+
+def test_betweenness_edge_guard(spark):
+    from metagraph_spark.exceptions import GraphPropertyError
+
+    g = build(
+        df_from_edges(spark, STD_EDGES, weighted=True), is_directed=True
+    )
+    with pytest.raises(GraphPropertyError):
+        betweenness_centrality(g, max_edges=2)
