@@ -43,15 +43,36 @@ from metagraph_spark.graph import DST, ID, SRC, Graph
 
 BLOCK_SCHEMA = "block int, dst_lo long, srcs array<int>, dsts array<int>"
 
-# per-python-worker block cache (workers are reused across supersteps —
-# spark.python.worker.reuse default true). Keyed by block file path.
-# Reference ancestry: metagraph's shared-memory chunk registry
-# (core/dask/loader.py:153-240) — same idea, files + process cache instead
-# of a scheduler plugin.
+# Block arrays are raw .npy files opened with mmap in every task: the OS
+# page cache holds ONE copy of each block for the whole host, shared by all
+# python workers — per-worker in-memory caches (round-1 design) multiply
+# resident block data by the worker count and thrash once blocks exceed
+# memory/worker. Reference ancestry: metagraph's shared-memory chunk
+# registry (core/dask/loader.py:153-240) — same idea, page cache instead of
+# a scheduler plugin. Legacy .npz dirs (pre-round-2 layout) are still
+# readable via the decompress-and-cache fallback below.
 _BLOCK_CACHE: dict = {}
-# per-worker cache of the assembled previous-iteration rank vector (one
-# entry at a time) + the static inv-degree vector, keyed by (run_dir, iter)
+# per-worker cache of the static inv-degree vector, keyed by run_dir
 _VEC_CACHE: dict = {}
+
+
+def _open_block(path: str):
+    """(srcs, dsts) positional arrays for one block — mmap for .npy pairs,
+    per-worker decompressed cache for legacy .npz files."""
+    if path.endswith(".npz"):
+        cached = _BLOCK_CACHE.get(path)
+        if cached is None:
+            with np.load(path) as z:
+                cached = (
+                    z["srcs"].astype(np.int64),
+                    z["dsts"].astype(np.int64),
+                )
+            _BLOCK_CACHE[path] = cached
+        return cached
+    return (
+        np.load(path + ".srcs.npy", mmap_mode="r"),
+        np.load(path + ".dsts.npy", mmap_mode="r"),
+    )
 
 
 class EdgeBlocks:
@@ -120,11 +141,13 @@ def build_edge_blocks(
         def pack_to_file(key, pdf: pd.DataFrame) -> pd.DataFrame:
             blk = int(key[0])
             lo = blk * n // nb
-            path = os.path.join(spill_dir, f"block_{blk:05d}.npz")
-            np.savez(
-                path,
-                srcs=pdf["src_pos"].to_numpy(),
-                dsts=(pdf["dst_pos"].to_numpy() - lo).astype(np.int32),
+            # raw .npy pair (NOT .npz): tasks mmap these, so the page cache
+            # keeps one host-wide copy instead of one per python worker
+            path = os.path.join(spill_dir, f"block_{blk:05d}")
+            np.save(path + ".srcs.npy", pdf["src_pos"].to_numpy())
+            np.save(
+                path + ".dsts.npy",
+                (pdf["dst_pos"].to_numpy() - lo).astype(np.int32),
             )
             return pd.DataFrame({"path": [path], "dst_lo": [lo]})
 
@@ -284,15 +307,7 @@ def _distributed_superstep_loop(
                 _VEC_CACHE[(run_dir, "inv")] = inv
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    cached = _BLOCK_CACHE.get(row["path"])
-                    if cached is None:
-                        with np.load(row["path"]) as z:
-                            cached = (
-                                z["srcs"].astype(np.int64),
-                                z["dsts"].astype(np.int64),
-                            )
-                        _BLOCK_CACHE[row["path"]] = cached
-                    srcs, dsts = cached
+                    srcs, dsts = _open_block(row["path"])
                     lo = int(row["dst_lo"])
                     hi = hi_of[lo]  # static evenly-spaced ranges
                     width = hi - lo
@@ -419,15 +434,7 @@ def pagerank_kernel(
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     if file_backed:
-                        cached = _BLOCK_CACHE.get(row["path"])
-                        if cached is None:
-                            with np.load(row["path"]) as z:
-                                cached = (
-                                    z["srcs"].astype(np.int64),
-                                    z["dsts"].astype(np.int64),
-                                )
-                            _BLOCK_CACHE[row["path"]] = cached
-                        srcs, dsts = cached
+                        srcs, dsts = _open_block(row["path"])
                     else:
                         srcs = np.asarray(row["srcs"], dtype=np.int64)
                         dsts = np.asarray(row["dsts"], dtype=np.int64)
