@@ -953,10 +953,10 @@ agg AS (SELECT h.doc_id,
                max(tot.n) AS n
         FROM h JOIN tot ON h.doc_id = tot.doc_id GROUP BY h.doc_id)
 SELECT d.doc_id AS media_id,
-       coalesce(a.n, 0) AS n_bytes,
+       coalesce(a.n, 0)::BIGINT AS n_bytes,
        round(coalesce(a.mb, 0.0), 6) AS mean_byte,
        round(coalesce(a.e, 0.0), 6) AS byte_entropy,
-       coalesce(a.nd, 0) AS n_distinct
+       coalesce(a.nd, 0)::BIGINT AS n_distinct
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY media_id"""
 

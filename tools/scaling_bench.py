@@ -205,7 +205,7 @@ def main() -> None:
         }
     print(json.dumps(summary))
     _write_md(summary)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/SCALING_LATEST.md (merge into BENCH/BASELINE.md by hand)")
 
 
 def _write_md(s: dict) -> None:
@@ -310,8 +310,11 @@ def _write_md(s: dict) -> None:
         "Reproduce: `python tools/scaling_bench.py <nodes> <edges> <iters> "
         "<trials>`",
     ]
+    # BASELINE.md is the curated, hand-maintained evidence document; a raw
+    # run must never overwrite it (round-2 snapshot clobbered it that way).
+    # Raw output goes to SCALING_LATEST.md for manual merge.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LATEST.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
