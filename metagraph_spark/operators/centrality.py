@@ -495,8 +495,15 @@ def betweenness_centrality(
     np.cumsum(np.bincount(src_pos, minlength=nv), out=indptr[1:])
 
     if nodes is not None:
-        src_ids = nodes.select(ID).toArrow().column(ID).to_numpy()
-        srcs = np.searchsorted(node_arr, np.sort(src_ids))
+        src_ids = np.sort(nodes.select(ID).toArrow().column(ID).to_numpy())
+        srcs = np.searchsorted(node_arr, src_ids)
+        # searchsorted on a missing id silently returns the insertion
+        # position (or nv, past the end) — validate membership explicitly.
+        bad = (srcs >= nv) | (node_arr[np.minimum(srcs, nv - 1)] != src_ids)
+        if bad.any():
+            raise GraphPropertyError(
+                f"betweenness sources not in graph: {src_ids[bad][:10].tolist()}"
+            )
         tmask = np.zeros(nv, dtype=bool)
         tmask[srcs] = True
     else:

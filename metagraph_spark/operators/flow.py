@@ -55,6 +55,20 @@ def _arrow_csr(graph: Graph):
     return node_arr, src_pos, dst_pos, cap
 
 
+def _resolve_st(node_arr, source_node: int, target_node: int) -> tuple[int, int]:
+    """Map source/target ids to positions, validating membership —
+    np.searchsorted on a missing id would otherwise silently return the
+    insertion position and compute the flow/cut from the wrong node."""
+    n = len(node_arr)
+    s = int(np.searchsorted(node_arr, source_node))
+    t = int(np.searchsorted(node_arr, target_node))
+    if not (0 <= s < n and node_arr[s] == source_node):
+        raise ValueError(f"source node {source_node} not in graph")
+    if not (0 <= t < n and node_arr[t] == target_node):
+        raise ValueError(f"target node {target_node} not in graph")
+    return s, t
+
+
 def _edmonds_karp(n, src_pos, dst_pos, cap, s, t):
     """Edmonds–Karp over paired forward/backward arcs. Returns
     (flow_value, flow_per_edge, residual_reachable_mask)."""
@@ -129,14 +143,8 @@ def max_flow(
     input nodes kept), matching the nx flow_dict semantics."""
     spark = graph.edges.sparkSession
     node_arr, src_pos, dst_pos, cap = _arrow_csr(graph)
-    s = int(np.searchsorted(node_arr, source_node))
-    t = int(np.searchsorted(node_arr, target_node))
-    n = len(node_arr)
-    if not (0 <= s < n and node_arr[s] == source_node):
-        raise ValueError(f"source node {source_node} not in graph")
-    if not (0 <= t < n and node_arr[t] == target_node):
-        raise ValueError(f"target node {target_node} not in graph")
-    value, flow, _ = _edmonds_karp(n, src_pos, dst_pos, cap, s, t)
+    s, t = _resolve_st(node_arr, source_node, target_node)
+    value, flow, _ = _edmonds_karp(len(node_arr), src_pos, dst_pos, cap, s, t)
     keep = flow > 0
     import pandas as pd
 
@@ -163,8 +171,7 @@ def min_cut(
     all input nodes kept. cut_value == max_flow value (duality)."""
     spark = graph.edges.sparkSession
     node_arr, src_pos, dst_pos, cap = _arrow_csr(graph)
-    s = int(np.searchsorted(node_arr, source_node))
-    t = int(np.searchsorted(node_arr, target_node))
+    s, t = _resolve_st(node_arr, source_node, target_node)
     value, _, reach = _edmonds_karp(len(node_arr), src_pos, dst_pos, cap, s, t)
     keep = reach[src_pos] & ~reach[dst_pos]
     import pandas as pd

@@ -83,6 +83,14 @@ def pagerank(
     identical update rule and are asserted equal by shared golden tests."""
     if strategy not in ("join", "kernel", "auto"):
         raise ValueError(f"unknown pagerank strategy {strategy!r}")
+    if strategy == "kernel" and checkpointer is not None:
+        # the kernel keeps no durable per-superstep state — silently
+        # dropping an explicitly requested checkpointer would lose
+        # resume-ability without warning
+        raise ValueError(
+            "strategy='kernel' keeps no durable per-superstep state and "
+            "cannot honor a checkpointer; use strategy='join' or 'auto'"
+        )
     if strategy != "join":
         use_kernel = strategy == "kernel" or (
             checkpointer is None and graph.num_nodes() <= kernel_max_vertices

@@ -41,20 +41,29 @@ def write_table(
     df: DataFrame, path: str, mode: str = "overwrite", table: str | None = None
 ) -> None:
     """Write ``df`` to ``path`` (parquet), or — when an Iceberg catalog is
-    configured — to the logical table ``table`` (defaulting to a valid
-    identifier derived from the path's basename, since callers pass
-    filesystem paths). ``mode`` is honored in both branches."""
+    configured — to the logical table ``table``. Without an explicit
+    ``table``, the identifier is derived from the FULL path (sanitized),
+    not just the basename: two runs writing ``.../run_a/edges.parquet``
+    and ``.../run_b/edges.parquet`` must land in distinct tables, not
+    silently clobber each other. Only ``append``/``overwrite`` are valid
+    under Iceberg — other modes ("error", "ignore") have no
+    non-destructive mapping onto ``createOrReplace`` and are rejected."""
     spark = df.sparkSession
     ns = os.environ.get("SPARK_GRAFT_ICEBERG_NS")
     if ns and _iceberg_available(spark):
-        ident = table or re.sub(
-            r"[^A-Za-z0-9_]", "_",
-            os.path.basename(path.rstrip("/")).removesuffix(".parquet"),
-        )
-        writer = df.writeTo(f"{ns}.{ident}")
+        if table is None:
+            table = re.sub(
+                r"[^A-Za-z0-9_]", "_",
+                path.rstrip("/").removesuffix(".parquet").lstrip("/"),
+            )
         if mode == "append":
-            writer.append()
+            df.writeTo(f"{ns}.{table}").append()
+        elif mode == "overwrite":
+            df.writeTo(f"{ns}.{table}").createOrReplace()
         else:
-            writer.createOrReplace()
+            raise ValueError(
+                f"Iceberg write supports mode 'append' or 'overwrite', "
+                f"got {mode!r} (no non-destructive createOrReplace mapping)"
+            )
         return
     df.write.mode(mode).parquet(path)

@@ -6,7 +6,7 @@ batch ingest) → ``foreachBatch`` merge into the canonical edge table.
 Turn-adjacency needs the per-conversation predecessor turn, which crosses
 micro-batch boundaries — handled with a watermark + self-contained lag
 within (conv_id) groups per batch plus a small carried state table of each
-conversation's last seen turn (idempotent upsert keyed on conv_id).
+conversation's last seen turn, versioned per epoch for replay safety.
 
 Windowed per-tool activity counts are a plain watermarked streaming agg.
 """
@@ -49,6 +49,35 @@ def tool_activity_counts(
     )
 
 
+def _list_state_epochs(spark: SparkSession, state_table_path: str) -> list[int]:
+    """Epoch ids of existing state snapshots under ``state_table_path``,
+    via the Hadoop FS API (portable to HDFS/S3A, not just local paths)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(state_table_path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _delete_state_epoch(
+    spark: SparkSession, state_table_path: str, epoch: int
+) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{state_table_path}/epoch={epoch}")
+    p.getFileSystem(conf).delete(p, True)
+
+
 def process_edge_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -57,17 +86,28 @@ def process_edge_batch(
 ) -> None:
     """One micro-batch of edge maintenance (module-level so the epoch-replay
     idempotency contract is directly testable). See
-    :func:`start_edge_maintenance` for the per-step description."""
+    :func:`start_edge_maintenance` for the per-step description.
+
+    The carried last-turn state is VERSIONED PER EPOCH: epoch ``e`` reads
+    the newest snapshot with epoch < e and writes its own full snapshot to
+    ``state_table_path/epoch=e``. A replay of epoch ``e`` after a failure —
+    even one that landed after the state write but before the streaming
+    commit — therefore reads exactly the state the original attempt read
+    and rewrites identical deltas. A single mutable state table had a
+    replay hole here: the replay would see the already-advanced state, lose
+    the cross-batch adjacency, and overwrite the epoch partition with a
+    smaller delta set (permanent undercount)."""
     from pyspark.sql import Window
 
     spark = batch.sparkSession
-    try:
-        carried = spark.read.parquet(state_table_path)
-    except Exception:  # first batch: no state yet
+    prior = [e for e in _list_state_epochs(spark, state_table_path) if e < epoch_id]
+    if prior:
+        carried = spark.read.parquet(f"{state_table_path}/epoch={prior[-1]}")
+    else:  # first batch: no state yet
         carried = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
     relevant_convs = batch.select("conv_id").distinct()
-    carried = carried.join(relevant_convs, "conv_id", "left_semi")
-    full = batch.unionByName(carried)
+    carried_ctx = carried.join(relevant_convs, "conv_id", "left_semi")
+    full = batch.unionByName(carried_ctx)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = actor_label(full)
     pairs = (
@@ -97,25 +137,24 @@ def process_edge_batch(
     pairs.write.mode("overwrite").parquet(
         os.path.join(edge_table_path, f"epoch={epoch_id}")
     )
-    # new carried state: max turn per conversation seen so far
+    # new carried state snapshot for THIS epoch: max turn per conversation
+    # over (batch ∪ untouched conversations from the prior snapshot)
     w_last = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
     new_state = (
         full.withColumn("_rn", F.row_number().over(w_last))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    try:
-        other = spark.read.parquet(state_table_path).join(
-            relevant_convs, "conv_id", "left_anti"
-        )
-        new_state = new_state.unionByName(other)
-    except Exception:
-        pass
-    new_state.write.mode("overwrite").parquet(state_table_path + "_next")
-    # atomic-ish swap via overwrite of the canonical path
-    spark.read.parquet(state_table_path + "_next").write.mode(
-        "overwrite"
-    ).parquet(state_table_path)
+    new_state = new_state.unionByName(
+        carried.join(relevant_convs, "conv_id", "left_anti")
+    )
+    new_state.write.mode("overwrite").parquet(
+        f"{state_table_path}/epoch={epoch_id}"
+    )
+    # bound storage: Structured Streaming only ever replays the LAST
+    # uncommitted epoch, so snapshots older than epoch_id-1 are dead
+    for e in prior[:-1]:
+        _delete_state_epoch(spark, state_table_path, e)
 
 
 def start_edge_maintenance(
@@ -134,7 +173,9 @@ def start_edge_maintenance(
        (overwrite — so a Structured Streaming epoch REPLAY after
        failure/restart rewrites the same data instead of double-counting;
        aggregate at read time: weight = sum of deltas),
-    4. upsert the new last turn per conversation into ``state_table_path``.
+    4. write the epoch's full last-turn-per-conversation snapshot to
+       ``state_table_path/epoch=<id>`` (epoch-versioned so a replay reads
+       the predecessor epoch's state, never its own output).
     """
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:

@@ -184,3 +184,14 @@ def test_betweenness_edge_guard(spark):
     )
     with pytest.raises(GraphPropertyError):
         betweenness_centrality(g, max_edges=2)
+
+
+def test_betweenness_validates_sources(spark):
+    from metagraph_spark.exceptions import GraphPropertyError
+
+    g = build(
+        df_from_edges(spark, STD_EDGES, weighted=True), is_directed=True
+    )
+    missing = spark.createDataFrame([(999,), (0,)], "id long")
+    with pytest.raises(GraphPropertyError, match="not in graph"):
+        betweenness_centrality(g, nodes=missing)

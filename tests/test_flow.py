@@ -64,3 +64,13 @@ def test_max_flow_disconnected(spark):
     value, fg = max_flow(g, 0, 3)
     assert value == 0.0
     assert fg.edges.count() == 0
+
+
+def test_min_cut_validates_source_target(spark):
+    import pytest
+
+    g = build(df_from_edges(spark, MINCUT_EDGES, weighted=True), is_directed=True)
+    with pytest.raises(ValueError, match="not in graph"):
+        min_cut(g, 999, 7)
+    with pytest.raises(ValueError, match="not in graph"):
+        min_cut(g, 0, -5)

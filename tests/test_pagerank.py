@@ -88,3 +88,14 @@ def test_pagerank_undirected_symmetrization(spark):
     # symmetric structure: endpoints equal, middles equal
     assert math.isclose(got[0], got[3], rel_tol=1e-6)
     assert math.isclose(got[1], got[2], rel_tol=1e-6)
+
+
+def test_kernel_strategy_rejects_checkpointer(spark, tmp_path):
+    import pytest
+
+    from metagraph_spark.state import CheckpointManager
+
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    ck = CheckpointManager(root=str(tmp_path / "ck"), run_id="k1")
+    with pytest.raises(ValueError, match="checkpointer"):
+        pagerank(g, strategy="kernel", checkpointer=ck)

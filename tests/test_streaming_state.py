@@ -121,6 +121,44 @@ def test_streaming_epoch_replay_idempotent(spark, tmp_path):
     assert once == twice
 
 
+def test_streaming_replay_after_state_advance(spark, tmp_path):
+    """Replay of an epoch AFTER its state snapshot was already written
+    (failure between the state write and the streaming commit) must still
+    produce the same deltas — the cross-batch adjacency (previous epoch's
+    last turn → this batch's first turn) must survive the replay.
+
+    With a single mutable state table this undercounted: the replay read
+    the already-advanced state, so the carried row was the batch's own
+    last turn and the epoch partition was overwritten with a smaller
+    delta set. Epoch-versioned state closes the hole."""
+    from metagraph_spark.streaming.ingest_stream import process_edge_batch
+
+    t = synthesize_transcripts(spark, 20).cache()
+    first = t.filter(F.col("turn_idx") < 3)
+    second = t.filter(F.col("turn_idx") >= 3)
+    assert second.count() > 0  # the split really crosses batches
+    edges_dir = str(tmp_path / "edges")
+    state_dir = str(tmp_path / "state")
+    process_edge_batch(first, 0, edges_dir, state_dir)
+    process_edge_batch(second, 1, edges_dir, state_dir)
+    once = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in current_edges(spark, edges_dir).collect()
+    }
+    expected = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in turn_adjacency_edges(t).collect()
+    }
+    assert once == expected
+    # epoch 1 state snapshot exists already — replay epoch 1 anyway
+    process_edge_batch(second, 1, edges_dir, state_dir)
+    twice = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in current_edges(spark, edges_dir).collect()
+    }
+    assert twice == expected
+
+
 def test_streaming_tool_activity(spark, tmp_path):
     t = synthesize_transcripts(spark, 50)
     src_dir = str(tmp_path / "src2")
