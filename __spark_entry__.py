@@ -828,6 +828,110 @@ SELECT round(min(cv), 6) AS flow FROM cutv"""
     )
 
 
+def _mincut_edges_sql() -> str:
+    """Exact replica of ``min_cut``'s canonical cut on the event-type graph.
+
+    Enumerates every s-side subset (node count tiny, masks ≤ 2^n — same
+    enumeration as ``_maxflow_value_sql``), keeps the subsets achieving the
+    minimum cut value, and INTERSECTS their member sets. Min-cut source
+    sides are closed under intersection (submodularity), and the minimal
+    source side is exactly the residual-reachable set Edmonds–Karp emits
+    (``operators/flow.py:min_cut``), so the intersection reproduces the
+    engine's canonical cut edge-for-edge. Weights are integer-valued
+    doubles, so the ``cv = min(cv)`` equality is exact."""
+    return (
+        "WITH " + _SQL_EVENT_TYPE.strip().rstrip(",")
+        + """
+, sdef AS (SELECT min(id) AS s, max(id) AS t FROM dnodes),
+others AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS pos
+           FROM dnodes WHERE id <> (SELECT s FROM sdef)
+                         AND id <> (SELECT t FROM sdef)),
+masks AS (SELECT unnest(range(1 << (SELECT count(*) FROM others)::INT)) AS m),
+member AS (SELECT m.m, o.id FROM masks m
+           JOIN others o ON ((m.m >> o.pos::INT) & 1) = 1
+           UNION ALL SELECT m.m, (SELECT s FROM sdef) FROM masks m),
+cutv AS (SELECT m.m, coalesce(sum(d.weight), 0.0) AS cv
+         FROM masks m LEFT JOIN (
+           SELECT mem.m, d.weight
+           FROM de d JOIN member mem ON d.src = mem.id
+           WHERE NOT EXISTS (SELECT 1 FROM member m2
+                             WHERE m2.m = mem.m AND m2.id = d.dst)
+         ) d ON d.m = m.m
+         GROUP BY m.m),
+winners AS (SELECT m FROM cutv WHERE cv = (SELECT min(cv) FROM cutv)),
+sstar AS (SELECT mem.id FROM member mem JOIN winners w ON mem.m = w.m
+          GROUP BY mem.id
+          HAVING count(*) = (SELECT count(*) FROM winners))
+SELECT d.src, d.dst, d.weight FROM de d
+WHERE d.src IN (SELECT id FROM sstar)
+  AND d.dst NOT IN (SELECT id FROM sstar)
+ORDER BY d.src, d.dst"""
+    )
+
+
+MST_MIN_WEIGHT = 2  # mst query runs on the weight>=2 co-purchase subgraph
+MST_MAX_W = 6       # unroll thresholds 1..MST_MAX_W (max observed weight 5)
+MST_CC_ROUNDS = 12  # pointer-jumped hash-min; converged at 10 on every sf
+
+
+def _mst_hist_sql(
+    rounds: int = MST_CC_ROUNDS,
+    max_w: int = MST_MAX_W,
+    min_weight: int = MST_MIN_WEIGHT,
+) -> str:
+    """MST weight-class histogram oracle via the cut-counting identity.
+
+    Every minimum spanning forest of a graph has the SAME number of edges
+    per weight class (the classic MSF exchange argument), so the histogram
+    is implementation-independent — unlike the edge list, which depends on
+    Borůvka's tie-breaking and is not practically SQL-unrollable. The
+    number of MSF edges of integer weight w equals
+    ``ncomp(weight <= w-1) - ncomp(weight <= w)``; each threshold component
+    count is an unrolled hash-min label propagation with per-round pointer
+    jumping (``label <- label[label]``), which converges in O(log V)
+    rounds."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        f"eh AS (SELECT src, dst, weight FROM e WHERE weight >= {min_weight})",
+        "symh AS (SELECT src, dst, weight FROM eh"
+        " UNION ALL SELECT dst, src, weight FROM eh)",
+        "hnodes AS (SELECT DISTINCT src AS id FROM symh)",
+    ]
+    for t in range(1, max_w + 1):
+        ctes.append(
+            f"s{t} AS (SELECT src, dst FROM symh WHERE weight <= {t})"
+        )
+        ctes.append(f"l{t}_0 AS (SELECT id, id AS label FROM hnodes)")
+        for k in range(rounds):
+            ctes.append(
+                f"""a{t}_{k + 1} AS (
+  SELECT l.id, least(l.label, coalesce(t.m, l.label)) AS label
+  FROM l{t}_{k} l LEFT JOIN (
+    SELECT s.dst AS id, min(l2.label) AS m
+    FROM s{t} s JOIN l{t}_{k} l2 ON s.src = l2.id GROUP BY 1) t
+  ON l.id = t.id)"""
+            )
+            ctes.append(
+                f"""l{t}_{k + 1} AS (
+  SELECT p.id, q.label FROM a{t}_{k + 1} p
+  JOIN a{t}_{k + 1} q ON p.label = q.id)"""
+            )
+        ctes.append(
+            f"c{t} AS (SELECT count(DISTINCT label) AS c FROM l{t}_{rounds})"
+        )
+    ctes.append("c0 AS (SELECT count(*) AS c FROM hnodes)")
+    classes = " UNION ALL ".join(
+        f"SELECT {w}::DOUBLE AS weight, "
+        f"((SELECT c FROM c{w - 1}) - (SELECT c FROM c{w}))::BIGINT AS n_edges"
+        for w in range(min_weight, max_w + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT weight, n_edges FROM ({classes})"
+        + " WHERE n_edges > 0 ORDER BY weight"
+    )
+
+
 def _betweenness_sql() -> str:
     """Exact weighted betweenness on the (tiny) directed event-type graph
     via recursive simple-path enumeration: sigma(s,t) over min-cost paths,
@@ -856,6 +960,55 @@ bt AS (SELECT c.v AS id, sum(c.through::double / g.sigma) AS b
 SELECT n.id, round(coalesce(bt.b, 0.0), 6) AS betweenness
 FROM dnodes n LEFT JOIN bt ON n.id = bt.id ORDER BY n.id"""
     )
+
+
+def _lsh_topk_sql(
+    bits: int, num_tables: int, seed: int, dim: int, k: int, max_qid: int
+) -> str:
+    """Exact replica of ``functions.similarity.lsh_topk``: the seeded
+    Gaussian hyperplanes are regenerated from the same seed
+    (``similarity._hyperplanes``) and embedded as a literal table — the
+    same export trick the minhash oracle uses for its permutations. Bucket
+    = sum of sign bits of plane dot products; candidates = bucket
+    collisions in any table; exact cosine rerank on candidates only. Signs
+    are computed on the raw vectors (positive normalization cannot change
+    a sign; |dot| is O(1) for Gaussian planes, far from the ~1e-16
+    rounding boundary)."""
+    from metagraph_spark.functions.similarity import _hyperplanes
+
+    rows = []
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        for b in range(bits):
+            vec = ", ".join(repr(float(x)) for x in planes[:, b])
+            rows.append(f"({t}, {1 << b}, [{vec}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(t, bitval, p) AS (VALUES
+{values}),
+qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_qid}),
+cb AS (SELECT e.vec_id AS neighbor_id, pl.t,
+              sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.p) > 0
+                       THEN pl.bitval ELSE 0 END) AS bucket
+       FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+qb AS (SELECT q.vec_id AS query_id, pl.t,
+              sum(CASE WHEN list_inner_product(q.embedding::DOUBLE[], pl.p) > 0
+                       THEN pl.bitval ELSE 0 END) AS bucket
+       FROM qv q CROSS JOIN planes pl GROUP BY 1, 2),
+cand AS (SELECT DISTINCT qb.query_id, cb.neighbor_id
+         FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+         WHERE qb.query_id <> cb.neighbor_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine
+           FROM cand c
+           JOIN qv qe ON c.query_id = qe.vec_id
+           JOIN embeddings ce ON c.neighbor_id = ce.vec_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
 # --------------------------------------------------------------- dedup sql
@@ -1140,10 +1293,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["k_core_3"] = lambda spark, sf: (
         k_core(_copurchase_graph(spark, sf), 3).edges.orderBy("src", "dst")
     )
-    q["mst"] = lambda spark, sf: (
-        minimum_spanning_tree(_copurchase_graph(spark, sf))
-        .edges.orderBy("src", "dst")
-    )
+    def _mst(spark, sf):
+        # weight>=2 subgraph: the weight-1 edges alone already span the full
+        # co-purchase graph, which would make the histogram trivial. The
+        # weight-class histogram (not the edge list) is the oracle surface:
+        # it is identical for EVERY minimum spanning forest, so it is
+        # independent of Borůvka's tie-breaking (see _mst_hist_sql).
+        sub = mutil.filter_edges(
+            _copurchase_graph(spark, sf), f"weight >= {MST_MIN_WEIGHT}"
+        )
+        sub = Graph(edges=sub.edges, nodes=None, is_directed=False)
+        return (
+            minimum_spanning_tree(sub)
+            .edges.groupBy("weight")
+            .agg(F.count(F.lit(1)).alias("n_edges"))
+            .orderBy("weight")
+        )
+
+    q["mst"] = _mst
     q["maximal_independent_set"] = lambda spark, sf: (
         maximal_independent_set(_copurchase_graph(spark, sf)).orderBy("id")
     )
@@ -1476,6 +1643,8 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "random_walk": _rw_sql(RW_WALKS, RW_STEPS, RW_JUMP, RW_SEED),
         "apsp_subset": _apsp_sql(APSP_UNROLL, APSP_SOURCES),
         "max_flow_value": _maxflow_value_sql(),
+        "min_cut_edges": _mincut_edges_sql(),
+        "mst": _mst_hist_sql(),
         "dedup_minhash_lsh": _minhash_sql(64, 16, 0.8, 42),
         "dedup_simhash": _simhash_sql(3, 42),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
@@ -1530,4 +1699,7 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank FROM ranked
 WHERE rank <= 3 ORDER BY query_id, rank""",
+        "similarity_lsh_topk": _lsh_topk_sql(
+            bits=4, num_tables=16, seed=42, dim=64, k=3, max_qid=10
+        ),
     }
