@@ -257,8 +257,11 @@ cd AS (SELECT lab.label, sum(nd.kv) AS kc
 wnc AS (SELECT s.src AS id, lab.label, sum(s.weight) AS w
         FROM symw s JOIN lab ON s.dst = lab.id GROUP BY 1, 2),
 cand AS (SELECT w.id, w.label,
-                w.w - nd.kv * cd.kc / (2 * (SELECT m FROM mm)) AS gain
-         FROM wnc w JOIN nd ON w.id = nd.id JOIN cd ON w.label = cd.label),
+                w.w - nd.kv * (cd.kc - CASE WHEN w.label = lab.label
+                                            THEN nd.kv ELSE 0 END)
+                      / (2 * (SELECT m FROM mm)) AS gain
+         FROM wnc w JOIN nd ON w.id = nd.id JOIN cd ON w.label = cd.label
+         JOIN lab ON w.id = lab.id),
 best AS (SELECT id, label AS new_label, gain FROM (
            SELECT id, label, gain,
                   row_number() OVER (PARTITION BY id

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from metagraph_spark.exceptions import GraphPropertyError
 from metagraph_spark.graph import DST, ID, SRC, WEIGHT, Graph
 from metagraph_spark.operators.lpa import label_propagation_community
+from metagraph_spark.state import truncate_lineage
 
 
 def modularity(graph: Graph, labels: DataFrame) -> float:
@@ -37,9 +38,7 @@ def modularity(graph: Graph, labels: DataFrame) -> float:
     python-louvain)."""
     if graph.is_directed:
         raise GraphPropertyError("modularity requires an undirected graph")
-    e = graph.canonical_undirected_edges()
-    if not graph.is_weighted:
-        e = e.withColumn(WEIGHT, F.lit(1.0))
+    e = _canon_edges(graph)
     lab_s = labels.select(F.col(ID).alias(SRC), F.col("label").alias("_ls"))
     lab_d = labels.select(F.col(ID).alias(DST), F.col("label").alias("_ld"))
     ej = e.join(lab_s, SRC).join(lab_d, DST).persist()
@@ -76,17 +75,41 @@ def modularity(graph: Graph, labels: DataFrame) -> float:
     return float(parts)
 
 
-def _one_refinement_sweep(graph: Graph, labels: DataFrame) -> DataFrame:
-    """Synchronous greedy modularity sweep: each node adopts the incident
-    community maximizing (w_to_community − deg_v·deg_community/(2m)),
-    staying put on non-positive gain; ties to smallest label."""
+def _canon_edges(graph: Graph) -> DataFrame:
+    """Canonical undirected weighted edges, KEEPING self-loops when the
+    graph is a Louvain quotient (already canonical) — the class method
+    drops self-loops, which would lose contracted intra-community
+    weight."""
+    if graph.metadata.get("louvain_quotient"):
+        return graph.edges
     e = graph.canonical_undirected_edges()
     if not graph.is_weighted:
         e = e.withColumn(WEIGHT, F.lit(1.0))
+    return e
+
+
+def _one_refinement_sweep(
+    graph: Graph, labels: DataFrame, direction: int | None = None
+) -> DataFrame:
+    """Synchronous greedy modularity sweep: each node adopts the incident
+    community maximizing the Louvain move gain (v removed from its own
+    community first), staying put on non-positive gain; ties to smallest
+    label.
+
+    ``direction`` gates moves when the sweep is ITERATED (the multi-level
+    loop): 0 allows only moves to labels <= the node's own, 1 only to
+    labels >= it. Two adjacent nodes can then never adopt each other's
+    labels in the same sweep (a swap needs one move down and one move up),
+    which kills the 2-cycle oscillation synchronous sweeps are prone to —
+    the alternating-direction trick from parallel Louvain implementations
+    (Grappolo-style). ``None`` = ungated single sweep (the original
+    ``louvain_community`` behavior)."""
+    e = _canon_edges(graph)
+    # mirror self-loops too: a contracted community's internal weight w must
+    # contribute 2w to its degree (python-louvain convention) and w to m.
+    # Graphs without self-loops (every level-0 input) are unaffected.
     sym = e.unionAll(
-        e.filter(F.col(SRC) != F.col(DST)).select(
-            F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT
-        )
+        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
     )
     m = sym.agg(F.sum(WEIGHT)).collect()[0][0] / 2.0
     node_deg = sym.groupBy(F.col(SRC).alias(ID)).agg(F.sum(WEIGHT).alias("kv"))
@@ -95,24 +118,46 @@ def _one_refinement_sweep(graph: Graph, labels: DataFrame) -> DataFrame:
         .groupBy("label")
         .agg(F.sum("kv").alias("kc"))
     )
-    # weight from each node to each incident community
+    # weight from each node to each incident community, EXCLUDING the
+    # node's own self-loops: a (contracted) node's internal weight moves
+    # with it wherever it goes, so it must cancel out of the move
+    # comparison (python-louvain likewise drops the self edge from
+    # neighboring-community weights)
     w_nc = (
-        sym.join(labels.select(F.col(ID).alias(DST), "label"), DST)
+        sym.filter(F.col(SRC) != F.col(DST))
+        .join(labels.select(F.col(ID).alias(DST), "label"), DST)
         .groupBy(F.col(SRC).alias(ID), "label")
         .agg(F.sum(WEIGHT).alias("w"))
     )
+    # standard Louvain move gain: v is first REMOVED from its community, so
+    # the own community's degree mass excludes kv — without this the
+    # comparison is biased against staying and sweeps oscillate
+    own = labels.select(ID, F.col("label").alias("_own"))
     cand = (
         w_nc.join(node_deg, ID)
         .join(comm_deg, "label")
+        .join(own, ID)
         .select(
             ID,
             "label",
+            "_own",
             (
                 F.col("w")
-                - F.col("kv") * F.col("kc") / F.lit(2.0 * m)
+                - F.col("kv")
+                * (
+                    F.col("kc")
+                    - F.when(
+                        F.col("label") == F.col("_own"), F.col("kv")
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.lit(2.0 * m)
             ).alias("gain"),
         )
     )
+    if direction == 0:
+        cand = cand.filter(F.col("label") <= F.col("_own"))
+    elif direction == 1:
+        cand = cand.filter(F.col("label") >= F.col("_own"))
     best = cand.groupBy(ID).agg(
         F.max(F.struct(F.col("gain"), (-F.col("label")).alias("nl"))).alias("b")
     ).select(ID, (-F.col("b.nl")).alias("new_label"), F.col("b.gain").alias("gain"))
@@ -120,9 +165,8 @@ def _one_refinement_sweep(graph: Graph, labels: DataFrame) -> DataFrame:
         labels.join(best, ID, "left")
         .select(
             ID,
-            F.when(
-                F.col("gain") > 0, F.col("new_label")
-            ).otherwise(F.col("label")).alias("label"),
+            F.when(F.col("gain") > 0, F.col("new_label"))
+            .otherwise(F.col("label")).alias("label"),
         )
     )
 
@@ -147,6 +191,112 @@ def louvain_community(graph: Graph, lpa_rounds: int = 20) -> tuple[DataFrame, fl
     if q_after > q_before:
         return refined, q_after
     return labels, q_before
+
+
+def _quotient_graph(graph: Graph, labels: DataFrame) -> Graph:
+    """Louvain phase-2 contraction: one node per community, edge weights
+    summed between communities, intra-community weight kept as self-loops
+    (they carry e_in into the next level's modularity/gain arithmetic)."""
+    e = _canon_edges(graph)
+    ls = labels.select(F.col(ID).alias(SRC), F.col("label").alias("_ls"))
+    ld = labels.select(F.col(ID).alias(DST), F.col("label").alias("_ld"))
+    q_edges = (
+        e.join(ls, SRC)
+        .join(ld, DST)
+        .select(
+            F.least("_ls", "_ld").alias(SRC),
+            F.greatest("_ls", "_ld").alias(DST),
+            WEIGHT,
+        )
+        .groupBy(SRC, DST)
+        .agg(F.sum(WEIGHT).alias(WEIGHT))
+    )
+    nodes = labels.select(F.col("label").alias(ID)).distinct()
+    return Graph(
+        edges=q_edges,
+        nodes=nodes,
+        is_directed=False,
+        metadata={"louvain_quotient": True},
+    )
+
+
+def louvain_community_multilevel(
+    graph: Graph,
+    max_levels: int = 10,
+    max_sweeps_per_level: int = 20,
+    min_gain: float = 1e-6,
+) -> tuple[DataFrame, float]:
+    """Full multi-level Louvain, matching the reference's python-louvain
+    backend semantics (``plugins/networkx/algorithms.py:603-615``): phase 1
+    iterates greedy local-move sweeps until no node moves, phase 2
+    contracts communities to a quotient graph (``_quotient_graph``), and
+    the two phases repeat until the modularity gain drops below
+    ``min_gain``. Starts from singleton communities like python-louvain.
+
+    Distributed shape: each sweep is a bounded number of |E|-row shuffles
+    on the CURRENT level's graph, and the quotient shrinks geometrically,
+    so total work is O(|E| · sweeps) at level 0 plus a fast-decaying tail —
+    the standard distributed-Louvain decomposition. Sweeps alternate a
+    hash-parity gate (only half the nodes may move per sweep) to prevent
+    adjacent-pair oscillation, and every per-level state is
+    lineage-truncated. Returns ``(labels over the ORIGINAL nodes,
+    modularity)``."""
+    if graph.is_directed:
+        raise GraphPropertyError("louvain requires an undirected graph")
+    labels = graph.node_ids().select(ID, F.col(ID).alias("label"))
+    q_best = modularity(graph, labels)
+    g_cur = graph
+    for _level in range(max_levels):
+        lab = g_cur.node_ids().select(ID, F.col(ID).alias("label"))
+        best_lab, best_q = _phase1(g_cur, lab, max_sweeps_per_level)
+        if best_q is None or best_q <= q_best + min_gain:
+            break
+        labels = truncate_lineage(
+            labels.join(
+                best_lab.select(
+                    F.col(ID).alias("label"), F.col("label").alias("_nl")
+                ),
+                "label",
+            ).select(ID, F.col("_nl").alias("label"))
+        )
+        q_best = best_q
+        q = _quotient_graph(g_cur, best_lab)
+        g_cur = Graph(
+            edges=truncate_lineage(q.edges),
+            nodes=q.nodes,
+            is_directed=False,
+            metadata={"louvain_quotient": True},
+        )
+    # final refinement on the ORIGINAL graph: the coarse levels move whole
+    # communities; one more sweep phase at node granularity recovers the
+    # individual-node corrections the contraction froze out
+    ref_lab, ref_q = _phase1(graph, labels, max_sweeps_per_level)
+    if ref_q is not None and ref_q > q_best + 1e-12:
+        labels, q_best = ref_lab, ref_q
+    return labels, q_best
+
+
+def _phase1(
+    g_cur: Graph, lab: DataFrame, max_sweeps: int
+) -> tuple[DataFrame | None, float | None]:
+    """Louvain phase 1: iterate alternating-direction synchronous sweeps,
+    KEEPING the best-modularity labeling seen. Convergence is judged on
+    modularity, not changed-row count (synchronous sweeps can cycle), and
+    modularity is invariant under self-loop-preserving contraction, so q
+    computed on the level graph IS q on the original graph."""
+    best_lab, best_q, stall = None, None, 0
+    for sweep in range(max_sweeps):
+        lab = truncate_lineage(
+            _one_refinement_sweep(g_cur, lab, direction=sweep % 2)
+        )
+        q = modularity(g_cur, lab)
+        if best_q is None or q > best_q + 1e-12:
+            best_lab, best_q, stall = lab, q, 0
+        else:
+            stall += 1
+            if stall >= 3:  # neither direction improving -> done
+                break
+    return best_lab, best_q
 
 
 def graph_projection(

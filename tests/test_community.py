@@ -57,3 +57,42 @@ def test_graph_projection(spark):
     proj0 = graph_projection(bip, nodes_retained=0)
     got0 = {(r["src"], r["dst"]): r["weight"] for r in proj0.edges.collect()}
     assert got0 == {(10, 11): 1.0}
+
+
+def test_louvain_multilevel_golden(spark):
+    """Multi-level Louvain must beat (or match) the single-sweep
+    approximation and clear the reference's modularity contract."""
+    from metagraph_spark.operators.community import louvain_community_multilevel
+
+    g = build(df_from_edges(spark, LOUVAIN_EDGES), is_directed=False)
+    labels, q_multi = louvain_community_multilevel(g)
+    assert labels.count() == 8
+    _, q_step = louvain_community(g)
+    assert q_multi >= q_step - 1e-9
+    assert q_multi > 0.45
+
+
+def test_louvain_multilevel_vs_networkx_karate(spark):
+    """Modularity on Zachary's karate club within 0.02 of python-louvain
+    semantics (networkx louvain_communities is the same algorithm)."""
+    from metagraph_spark.operators.community import louvain_community_multilevel
+
+    # compare UNWEIGHTED on both sides (nx's karate club carries edge
+    # weights; louvain_communities would otherwise optimize a different Q)
+    G = nx.karate_club_graph()
+    edges = [(u, v, 1.0) for u, v in G.edges()]
+    g = build(df_from_edges(spark, edges), is_directed=False)
+    labels, q = louvain_community_multilevel(g)
+    assert labels.count() == G.number_of_nodes()
+    ref_q = nx.community.modularity(
+        G, nx.community.louvain_communities(G, weight=None, seed=1),
+        weight=None,
+    )
+    assert q >= ref_q - 0.02, (q, ref_q)
+    # the partition we report must score what we claim (cross-check in nx)
+    part = {r["id"]: r["label"] for r in labels.collect()}
+    comms = {}
+    for n, c in part.items():
+        comms.setdefault(c, set()).add(n)
+    nx_q = nx.community.modularity(G, list(comms.values()), weight=None)
+    assert abs(nx_q - q) < 1e-6, (nx_q, q)
