@@ -229,6 +229,95 @@ def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
                       spill_dir=spill_dir)
 
 
+class LocalSliceStore:
+    """Slice store backed by memmap files on a SHARED filesystem.
+
+    The distributed superstep loop reads/writes per-iteration rank vectors
+    through this interface; this implementation holds one ``.npy`` file per
+    iteration under ``run_dir`` and relies on every worker seeing the same
+    filesystem (local mode, NFS/Lustre on a cluster). Tasks write disjoint
+    dst ranges of the single file in place (safe) and readers mmap it, so
+    the OS page cache is shared host-wide. A cluster WITHOUT a shared
+    filesystem plugs a different implementation into
+    ``pagerank_kernel(slice_store=...)`` — anything satisfying this duck
+    type (put/get aux array, create/open/delete iteration vectors) works,
+    e.g. per-slice objects on an object store reassembled per worker. The
+    instance must be picklable (workers receive it inside the task
+    closure); this one carries only the ``run_dir`` string."""
+
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+
+    # -- lifecycle (driver)
+    def init_run(self) -> None:
+        import os
+
+        os.makedirs(self.run_dir, exist_ok=True)
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.run_dir, ignore_errors=True)
+
+    # -- aux vectors (write once on the driver, cached read on workers)
+    def _aux_path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.run_dir, f"{name}.npy")
+
+    def put_aux(self, name: str, arr: np.ndarray) -> None:
+        np.save(self._aux_path(name), arr)
+
+    def get_aux(self, name: str) -> np.ndarray:
+        cached = _VEC_CACHE.get((self.run_dir, name))
+        if cached is None:
+            cached = np.load(self._aux_path(name))
+            _VEC_CACHE[(self.run_dir, name)] = cached
+        return cached
+
+    # -- per-iteration vectors
+    def _vec_path(self, iteration: int) -> str:
+        import os
+
+        return os.path.join(self.run_dir, f"r_{iteration:05d}.npy")
+
+    def create_vector(self, iteration: int, n: int) -> None:
+        """Driver: allocate iteration vector (sparse file header only)."""
+        np.lib.format.open_memmap(
+            self._vec_path(iteration), mode="w+", dtype=np.float64, shape=(n,)
+        ).flush()
+
+    def write_full(self, iteration: int, arr: np.ndarray) -> None:
+        m = np.lib.format.open_memmap(
+            self._vec_path(iteration), mode="w+", dtype=np.float64,
+            shape=arr.shape,
+        )
+        m[:] = arr
+        m.flush()
+
+    def open_read(self, iteration: int) -> np.ndarray:
+        """Worker: the previous iteration's full vector (random access)."""
+        return np.load(self._vec_path(iteration), mmap_mode="r")
+
+    def open_write(self, iteration: int) -> np.ndarray:
+        """Worker: writable view; tasks touch only their disjoint range."""
+        return np.load(self._vec_path(iteration), mmap_mode="r+")
+
+    def flush(self, handle: np.ndarray) -> None:
+        handle.flush()
+
+    def read_result(self, iteration: int) -> np.ndarray:
+        return np.array(np.load(self._vec_path(iteration), mmap_mode="r"))
+
+    def delete_vector(self, iteration: int) -> None:
+        import os
+
+        try:
+            os.unlink(self._vec_path(iteration))
+        except FileNotFoundError:
+            pass
+
+
 def _distributed_superstep_loop(
     spark,
     eb: EdgeBlocks,
@@ -238,6 +327,7 @@ def _distributed_superstep_loop(
     tolerance: float,
     fixed_iterations: int | None,
     metrics_sink: list | None,
+    slice_store=None,
 ):
     """Fully distributed supersteps for file-backed blocks with FULL block
     coverage: the rank vector NEVER crosses the driver during iteration.
@@ -254,9 +344,9 @@ def _distributed_superstep_loop(
     service; the broadcast path below remains the no-shared-fs fallback).
 
     Returns the final rank vector, or None if coverage is partial (caller
-    falls back to the legacy loop)."""
+    falls back to the legacy loop). All vector I/O goes through the slice
+    store (default :class:`LocalSliceStore` under the blocks' spill_dir)."""
     import os
-    import shutil
     import uuid
 
     import pandas as pd
@@ -268,43 +358,29 @@ def _distributed_superstep_loop(
     if nb == 0 or los != [k * n // nb for k in range(nb)]:
         return None  # empty ranges -> legacy loop handles them
     hi_of = {k * n // nb: (k + 1) * n // nb for k in range(nb)}
-    run_dir = os.path.join(eb.spill_dir, f"run_{uuid.uuid4().hex[:12]}")
-    os.makedirs(run_dir, exist_ok=True)
-    np.save(os.path.join(run_dir, "invdeg.npy"), inv_deg)
+    store = slice_store
+    if store is None:
+        store = LocalSliceStore(
+            os.path.join(eb.spill_dir, f"run_{uuid.uuid4().hex[:12]}")
+        )
+    store.init_run()
+    store.put_aux("invdeg", inv_deg)
     slice_meta = sorted((lo, hi_of[lo]) for _, lo in rows)
     danglesum = float((inv_deg == 0.0).sum()) / n  # of the uniform r0
     base = (1.0 - damping) / n
     err = None
 
-    def _vec_path(iteration: int) -> str:
-        return os.path.join(run_dir, f"r_{iteration:05d}.npy")
-
-    # iteration vectors are SINGLE memmap files: tasks write their disjoint
-    # dst ranges in place (concurrent disjoint writes are safe), readers
-    # mmap the previous file — zero assembly, zero copies, page-cache
-    # shared across every worker on the host. The driver only creates the
-    # (sparse) file header per superstep.
-    init = np.lib.format.open_memmap(
-        _vec_path(-1), mode="w+", dtype=np.float64, shape=(n,)
-    )
-    init[:] = 1.0 / n
-    init.flush()
-    del init
+    store.write_full(-1, np.full(n, 1.0 / n))
 
     for it in range(total):
         const_term = damping * danglesum / n + base
         cur = it
-        np.lib.format.open_memmap(
-            _vec_path(cur), mode="w+", dtype=np.float64, shape=(n,)
-        ).flush()
+        store.create_vector(cur, n)
 
         def step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            prev = np.load(_vec_path(cur - 1), mmap_mode="r")
-            out_vec = np.load(_vec_path(cur), mmap_mode="r+")
-            inv = _VEC_CACHE.get((run_dir, "inv"))
-            if inv is None:
-                inv = np.load(os.path.join(run_dir, "invdeg.npy"))
-                _VEC_CACHE[(run_dir, "inv")] = inv
+            prev = store.open_read(cur - 1)
+            out_vec = store.open_write(cur)
+            inv = store.get_aux("invdeg")
             for pdf in batches:
                 for _, row in pdf.iterrows():
                     srcs, dsts = _open_block(row["path"])
@@ -324,34 +400,31 @@ def _distributed_superstep_loop(
                             "dangle": [float(new_slice[inv_slice == 0.0].sum())],
                         }
                     )
-            out_vec.flush()
+            store.flush(out_vec)
 
         out = eb.manifest.mapInPandas(
             step, schema="dst_lo long, err double, dangle double"
         ).toPandas()
         if set(out["dst_lo"]) != {lo for lo, _ in slice_meta}:
-            shutil.rmtree(run_dir, ignore_errors=True)
+            store.cleanup()
             raise RuntimeError("distributed superstep lost a slice")
         err = float(out["err"].sum())
         danglesum = float(out["dangle"].sum())
         if metrics_sink is not None:
             metrics_sink.append({"iteration": it, "l1_error": err})
         if it >= 1:
-            try:
-                os.unlink(_vec_path(it - 2))
-            except FileNotFoundError:
-                pass
+            store.delete_vector(it - 2)
         if fixed_iterations is None and err < n * tolerance:
             total = it + 1
             break
     else:
         if fixed_iterations is None:
-            shutil.rmtree(run_dir, ignore_errors=True)
+            store.cleanup()
             raise ConvergenceError(
                 f"pagerank_kernel failed to converge (err={err!r})"
             )
-    r = np.array(np.load(_vec_path(total - 1), mmap_mode="r"))
-    shutil.rmtree(run_dir, ignore_errors=True)
+    r = store.read_result(total - 1)
+    store.cleanup()
     return r
 
 
@@ -362,6 +435,7 @@ def pagerank_kernel(
     tolerance: float = 1e-05,
     fixed_iterations: int | None = None,
     metrics_sink: list | None = None,
+    slice_store=None,
 ) -> DataFrame:
     """PageRank via the CSR/Arrow kernel. Returns ``(id, rank)``.
 
@@ -369,7 +443,11 @@ def pagerank_kernel(
     (amortize the layout across runs). File-backed blocks with full range
     coverage run the fully distributed superstep loop (rank vector never
     crosses the driver, see ``_distributed_superstep_loop``); otherwise the
-    broadcast/collect loop below runs."""
+    broadcast/collect loop below runs. ``slice_store`` injects the
+    iteration-vector storage for the distributed loop (default
+    :class:`LocalSliceStore` under the blocks' spill_dir — shared-FS
+    semantics; supply an object-store-backed implementation on clusters
+    without one)."""
     if isinstance(graph_or_blocks, EdgeBlocks):
         eb = graph_or_blocks
         owned = False
@@ -394,10 +472,10 @@ def pagerank_kernel(
     file_backed = eb.manifest is not None
     source_df = eb.manifest if file_backed else eb.blocks
 
-    if file_backed and eb.spill_dir:
+    if file_backed and (eb.spill_dir or slice_store is not None):
         r_dist = _distributed_superstep_loop(
             spark, eb, inv_deg, damping, total, tolerance,
-            fixed_iterations, metrics_sink,
+            fixed_iterations, metrics_sink, slice_store=slice_store,
         )
         if r_dist is not None:
             result = spark.createDataFrame(

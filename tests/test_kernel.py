@@ -85,3 +85,43 @@ def test_kernel_blocks_reuse(spark):
           pagerank_kernel(eb, maxiter=50, tolerance=1e-7).collect()}
     assert r1 == r2
     eb.unpersist()
+
+
+def test_kernel_broadcast_fallback_decision(spark, monkeypatch):
+    """Without a spill_dir (and without an injected slice store) the kernel
+    must take the broadcast/collect loop — the distributed superstep loop
+    assumes a shared slice store and must not be entered."""
+    from metagraph_spark.operators import kernel as K
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("distributed loop entered without a slice store")
+
+    monkeypatch.setattr(K, "_distributed_superstep_loop", boom)
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2)  # in-memory, no spill_dir
+    got = {r["id"]: r["rank"] for r in
+           pagerank_kernel(eb, damping=0.85, maxiter=50, tolerance=1e-7).collect()}
+    for node, expected in GOLDEN_EXPECTED.items():
+        assert math.isclose(got[node], expected, rel_tol=1e-5)
+    eb.unpersist()
+
+
+def test_kernel_injected_slice_store_parity(spark, tmp_path):
+    """A slice store supplied by the caller drives the distributed loop and
+    matches the broadcast path bit-for-bit at fixed iterations."""
+    from metagraph_spark.operators.kernel import LocalSliceStore
+
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2, spill_dir=str(tmp_path / "blocks"))
+    store = LocalSliceStore(str(tmp_path / "custom_store"))
+    a = {r["id"]: r["rank"] for r in
+         pagerank_kernel(eb, fixed_iterations=7, slice_store=store).collect()}
+    mem = build_edge_blocks(g, num_blocks=2)
+    b = {r["id"]: r["rank"] for r in
+         pagerank_kernel(mem, fixed_iterations=7).collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
+    import os
+    assert not os.path.exists(str(tmp_path / "custom_store"))  # cleaned up
+    eb.unpersist()
+    mem.unpersist()
