@@ -119,3 +119,29 @@ def test_mst_disconnected_golden(spark):
     assert canon(mst.edges.collect()) == canon(
         [{"src": s, "dst": d, "weight": float(w)} for s, d, w in expected]
     )
+
+
+def test_bfs_tree_depth_limited_golden(spark):
+    """Reference depth-limit variant (test_traversal.py:158-186): limit 3
+    keeps exactly the nodes within 3 hops, same parents."""
+    edges = [
+        (0, 3, 1), (0, 1, 2), (1, 3, 12), (1, 4, 3), (2, 4, 4), (2, 5, 5),
+        (2, 7, 6), (3, 4, 8), (4, 5, 9), (5, 6, 10), (6, 2, 11),
+    ]
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    depths, parents = bfs_tree(g, 0, depth_limit=3)
+    got_depth = {r["id"]: r["depth"] for r in depths.collect()}
+    assert got_depth == {0: 0, 1: 1, 3: 1, 4: 2, 5: 3}
+    got_parent = {r["id"]: r["parent"] for r in parents.collect()}
+    assert got_parent == {0: 0, 1: 0, 3: 0, 4: 1, 5: 4}
+
+
+def test_bfs_disconnected_source_component(spark):
+    """BFS from a node in a small component must not leak into the rest of
+    the graph; an isolated source yields just itself at depth 0."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (5, 6, 1.0)]
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    depths, parents = bfs_tree(g, 5)
+    assert {r["id"]: r["depth"] for r in depths.collect()} == {5: 0, 6: 1}
+    order = [r["id"] for r in bfs_iter(g, 6).orderBy("pos").collect()]
+    assert order == [6]
