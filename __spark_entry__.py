@@ -1014,6 +1014,48 @@ SELECT query_id, neighbor_id, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _ivf_topk_sql(
+    num_cells: int, nprobe: int, seed: int, k: int, max_qid: int
+) -> str:
+    """Exact replica of ``functions.similarity.ivf_topk``: seeded-sample
+    centroids via the shared cross-engine mix31 hash, argmax-cosine cell
+    assignment, nprobe probing, exact rerank — all tie-breaks to the
+    smaller cell/neighbor id, matching the Spark plan."""
+    h = _mix31_sql("vec_id", seed)
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_qid}),
+cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+          ORDER BY ({h}), vec_id LIMIT {num_cells}),
+asg AS (SELECT vec_id AS neighbor_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                            c.cell) AS rn
+          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+probes AS (SELECT query_id, cell FROM (
+             SELECT q.vec_id AS query_id, c.cell,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC,
+                               c.cell) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, a.neighbor_id
+         FROM probes p JOIN asg a USING (cell)
+         WHERE a.neighbor_id <> p.query_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine
+           FROM cand c
+           JOIN q qe ON c.query_id = qe.vec_id
+           JOIN embeddings ce ON c.neighbor_id = ce.vec_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 # --------------------------------------------------------------- dedup sql
 _TK_SQL = r"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
@@ -1536,6 +1578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=3, bits=4, num_tables=16,
         ).select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
     )
+    q["similarity_ivf_topk"] = lambda spark, sf: (
+        msim.ivf_topk(
+            read_table(spark, sf, "embeddings"),
+            read_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10),
+            k=3, num_cells=16, nprobe=4,
+        ).select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+    )
     return q
 
 
@@ -1704,5 +1753,8 @@ SELECT query_id, neighbor_id, rank FROM ranked
 WHERE rank <= 3 ORDER BY query_id, rank""",
         "similarity_lsh_topk": _lsh_topk_sql(
             bits=4, num_tables=16, seed=42, dim=64, k=3, max_qid=10
+        ),
+        "similarity_ivf_topk": _ivf_topk_sql(
+            num_cells=16, nprobe=4, seed=42, k=3, max_qid=10
         ),
     }

@@ -38,6 +38,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # transcript graph scale ~ sf: sf0.1 -> 200k convs (~800k turns)
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))
+# best-of-N per query, per-trial walls recorded in extras.trials — the
+# shared host varies up to 3x between identical runs, so a single trial
+# cannot distinguish a regression from hypervisor steal
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+# large-graph section: plans only show their shape once scheduler overhead
+# stops dominating; 100M edges is the smallest scale where the join
+# superstep is compute/shuffle bound. 0 disables.
+BIG_EDGES = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_EDGES", "100000000"))
 
 
 def copurchase_graph(spark, sf_dir):
@@ -59,12 +67,19 @@ def copurchase_graph(spark, sf_dir):
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    trial_log: dict[str, list[float]] = {}
+    extras["trials"] = trial_log
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, trials=TRIALS):
+        out = None
+        walls = []
+        for _ in range(trials):
+            t0 = time.time()
+            out = fn()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        trial_log[name] = walls
         return out
 
     # ---- transcript-derived graph: the north-rule headline -----------------
@@ -80,15 +95,16 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     g_t = g_t.partition_by_src(n_part)
     metrics: list[dict] = []
-    t0 = time.time()
-    ranks = pagerank(g_t, maxiter=100, tolerance=1e-6, metrics_sink=metrics)
-    ranks.count()
-    pr_time = time.time() - t0
+
+    def _run_pr():
+        metrics.clear()
+        pagerank(g_t, maxiter=100, tolerance=1e-6, metrics_sink=metrics).count()
+
+    timed("transcript_pagerank_1e6", _run_pr)
     supersteps = len(metrics)
-    timings["transcript_pagerank_1e6"] = round(pr_time, 3)
     extras["transcript_edges"] = n_edges_t
     extras["pagerank_supersteps"] = supersteps
-    eps = n_edges_t * supersteps / pr_time
+    eps = n_edges_t * supersteps / timings["transcript_pagerank_1e6"]
     extras["edges_per_sec_per_superstep"] = round(eps, 1)
 
     # CSR/Arrow kernel strategy on the same graph (file-backed blocks)
@@ -99,13 +115,15 @@ def main() -> None:
     eb = build_edge_blocks(g_t, spill_dir=tempfile.mkdtemp(prefix="mgspark_blocks_"))
     pagerank_kernel(eb, fixed_iterations=1)  # warm worker block caches
     kmetrics: list = []
-    t0 = time.time()
-    pagerank_kernel(eb, maxiter=100, tolerance=1e-6, metrics_sink=kmetrics)
-    k_time = time.time() - t0
-    timings["transcript_pagerank_kernel_1e6"] = round(k_time, 3)
+
+    def _run_kernel():
+        kmetrics.clear()
+        pagerank_kernel(eb, maxiter=100, tolerance=1e-6, metrics_sink=kmetrics)
+
+    timed("transcript_pagerank_kernel_1e6", _run_kernel)
     extras["kernel_supersteps"] = len(kmetrics)
     extras["kernel_edges_per_sec_per_superstep"] = round(
-        n_edges_t * len(kmetrics) / k_time, 1
+        n_edges_t * len(kmetrics) / timings["transcript_pagerank_kernel_1e6"], 1
     )
     eb.unpersist()
 
@@ -129,8 +147,52 @@ def main() -> None:
 
     timed("copurchase_katz_100iter",
           lambda: katz_centrality(
-              g_c, attenuation_factor=1e-4, fixed_iterations=100).count())
+              g_c, attenuation_factor=1e-4, fixed_iterations=100).count(),
+          trials=1)  # 100 fixed supersteps: dominated by per-job cost, and
+    # 3 trials would triple the longest query for no extra signal
     g_c.unpersist()
+
+    # ---- large-graph section (plans at scale, single trial) ---------------
+    # 100M-edge Zipf graph (hub skew + dangling tail): at this size the join
+    # superstep is shuffle/compute bound, not scheduler bound, so
+    # edges/s/superstep reflects the plan the 10^12-edge cluster would run
+    if BIG_EDGES > 0:
+        from metagraph_spark.ingest import zipf_graph
+
+        big_nodes = max(BIG_EDGES // 50, 1000)
+        # shuffle partitions must equal the src layout for pagerank to
+        # reuse it (same protocol as tools/scaling_bench.py JOIN_WORKER)
+        spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 2))
+        g_z = build(
+            zipf_graph(spark, big_nodes, BIG_EDGES), is_directed=True
+        ).partition_by_src(CPUS * 2)
+        t0 = time.time()
+        g_z.edges.count()  # materialize the persisted layout OUTSIDE the
+        # superstep windows — edges/s/superstep measures the iteration
+        # plan, not the one-off generate+partition (same protocol as
+        # tools/scaling_bench.py)
+        extras["big_layout_sec"] = round(time.time() - t0, 3)
+        extras["big_edges"] = BIG_EDGES
+        extras["big_nodes"] = big_nodes
+        pagerank(g_z, fixed_iterations=1)  # warm superstep (JIT/codegen)
+        zmetrics: list = []
+
+        def _run_big_pr():
+            zmetrics.clear()
+            pagerank(
+                g_z, fixed_iterations=3, metrics_sink=zmetrics
+            ).count()
+
+        timed("big_pagerank_join_3iter", _run_big_pr, trials=1)
+        extras["big_join_edges_per_sec_per_superstep"] = round(
+            BIG_EDGES * len(zmetrics) / timings["big_pagerank_join_3iter"], 1
+        )
+        timed("big_cc", lambda: connected_components(g_z).count(), trials=1)
+        timed("big_lpa_3r",
+              lambda: label_propagation_community(g_z, fixed_rounds=3).count(),
+              trials=1)
+        g_z.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
 
     # ---- pipeline ops -----------------------------------------------------
     docs = read_table(spark, SF_DIR, "documents")

@@ -143,6 +143,103 @@ def lsh_topk(
     return out
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k — the inverted-file scale path next to
+    :func:`lsh_topk`:
+
+    1. CENTROIDS: the ``num_cells`` corpus vectors with the smallest
+       ``mix31(id, seed)`` (deterministic seeded sample, cross-engine
+       replayable — the same hash the sampling oracles replay); cell id =
+       the centroid's own vector id. Tiny table, broadcast below.
+    2. ASSIGN (coarse quantization): each corpus vector keeps its
+       max-cosine centroid — one broadcast join (JVM ``zip_with`` dot, no
+       Python) + one groupBy argmax.
+    3. PROBE: each query keeps its ``nprobe`` highest-cosine cells.
+    4. RERANK: candidates = corpus rows in probed cells (equi-join on the
+       cell id), exact cosine, windowed top-k; ties to smaller neighbor.
+
+    At scale the corpus assignment is one pass over the corpus against a
+    broadcast centroid table, and the rerank join is cell-partitioned —
+    recall is bounded by nprobe/num_cells, cost by cell sizes (the
+    standard IVF trade). Returns ``(query_id, neighbor_id, cosine,
+    rank)``."""
+    from metagraph_spark.operators.subgraph import mix31
+
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cu")
+    ).persist()
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
+    )
+    cents = (
+        c.select(
+            F.col("neighbor_id").alias("cell"),
+            F.col("_cu").alias("_cv"),
+            mix31(F.col("neighbor_id"), seed).alias("_h"),
+        )
+        .orderBy("_h", "cell")
+        .limit(num_cells)
+        .drop("_h")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "_cu",
+            "cell",
+            _dot(F.col("_cu"), F.col("_cv")).alias("_cos"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))).alias("b"),
+            F.first("_cu").alias("_cu"),
+        )
+        .select("neighbor_id", (-F.col("b.nc")).alias("cell"), "_cu")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "_qu",
+            "cell",
+            _dot(F.col("_qu"), F.col("_cv")).alias("_cos"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_cos"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qu", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("_cu"), F.col("_qu")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return out
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -260,3 +260,34 @@ def test_byte_features_real(spark):
     # exact duplicates: 0 and 2 grouped, keeper = min id
     dup = {r["media_id"]: r["keep"] for r in exact_media_duplicates(media).collect()}
     assert dup[0] is True and dup[2] is False and dup[1] is True
+
+
+def test_ivf_topk_structure_and_recall(spark, emb_df):
+    """IVF ANN: every reported neighbor must live in a probed cell of its
+    query, results are deterministic across runs, and recall vs brute
+    force is non-trivial at nprobe=8/16 cells."""
+    sub = emb_df.limit(300)
+    queries = sub.limit(20)
+    got = similarity.ivf_topk(sub, queries, k=10, num_cells=16, nprobe=8)
+    rows = got.collect()
+    again = similarity.ivf_topk(sub, queries, k=10, num_cells=16, nprobe=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # deterministic
+    # per query: ranks contiguous from 1, neighbors unique, no self
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        ns = [r["neighbor_id"] for r in rs]
+        assert len(set(ns)) == len(ns) and qid not in ns
+    exact = similarity.cosine_topk_bruteforce(sub, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {q: {r["neighbor_id"] for r in rs} for q, rs in per_q.items()}
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
