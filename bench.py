@@ -160,6 +160,14 @@ def main() -> None:
         from metagraph_spark.ingest import zipf_graph
 
         big_nodes = max(BIG_EDGES // 50, 1000)
+        # fresh session: the preceding ~30 queries leave GC/shuffle debris
+        # that measured 2.3x on the 100M-edge supersteps (80s in-session vs
+        # 35.5s standalone for 3 supersteps) — restart so this section
+        # measures the plan, not the session history
+        spark.stop()
+        spark = get_spark(
+            "bench-big", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        )
         # shuffle partitions must equal the src layout for pagerank to
         # reuse it (same protocol as tools/scaling_bench.py JOIN_WORKER)
         spark.conf.set("spark.sql.shuffle.partitions", str(CPUS * 2))
