@@ -31,7 +31,11 @@ from metagraph_spark.functions import similarity as msim
 from metagraph_spark.functions import text as mtext
 from metagraph_spark.graph import Graph, build
 from metagraph_spark.operators import utility as mutil
-from metagraph_spark.operators.community import louvain_community, modularity
+from metagraph_spark.operators.community import (
+    louvain_community,
+    louvain_community_multilevel,
+    modularity,
+)
 from metagraph_spark.operators.components import (
     connected_components,
     strongly_connected_components,
@@ -303,6 +307,125 @@ SELECT lab.id,
             THEN r.label ELSE lab.label END AS label
 FROM lab JOIN refined r ON lab.id = r.id
 ORDER BY lab.id"""
+    )
+
+
+def _ml_sweep_ctes(inl: str, out: str, direction: int) -> list[str]:
+    """One direction-gated Louvain sweep as CTEs: community degrees and
+    node→community weights recomputed against ``inl``'s labels, corrected
+    move gain (own community's mass excludes the mover), direction filter,
+    argmax with (gain desc, label asc) tie-break. Shares ``symw``/``nd``/
+    ``mm`` (label-independent)."""
+    d_filter = "w.label <= lab.label" if direction == 0 else "w.label >= lab.label"
+    return [
+        f"""cd_{out} AS (SELECT l.label, sum(nd.kv) AS kc
+  FROM nd JOIN {inl} l ON nd.id = l.id GROUP BY 1)""",
+        f"""wnc_{out} AS (SELECT s.src AS id, l.label, sum(s.weight) AS w
+  FROM symw s JOIN {inl} l ON s.dst = l.id
+  WHERE s.src <> s.dst GROUP BY 1, 2)""",
+        f"""cand_{out} AS (SELECT w.id, w.label,
+       w.w - nd.kv * (cd.kc - CASE WHEN w.label = lab.label
+                                   THEN nd.kv ELSE 0 END)
+             / (2 * (SELECT m FROM mm)) AS gain
+  FROM wnc_{out} w JOIN nd ON w.id = nd.id
+  JOIN cd_{out} cd ON w.label = cd.label
+  JOIN {inl} lab ON w.id = lab.id
+  WHERE {d_filter})""",
+        f"""best_{out} AS (SELECT id, label AS new_label, gain FROM (
+  SELECT id, label, gain,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY gain DESC, label ASC) AS rn
+  FROM cand_{out}) WHERE rn = 1)""",
+        f"""{out} AS (SELECT l.id,
+       CASE WHEN b.gain > 0 THEN b.new_label ELSE l.label END AS label
+  FROM {inl} l LEFT JOIN best_{out} b ON l.id = b.id)""",
+    ]
+
+
+def _ml_q_cte(lab: str) -> str:
+    """Weighted Newman modularity of the ``lab`` partition as a 1-row CTE
+    ``q_{lab}`` (same arithmetic as ``operators.community.modularity``)."""
+    return f"""q_{lab} AS (
+  SELECT sum(coalesce(win, 0) / (SELECT m2.m FROM m2)
+         - dc * dc / (4 * (SELECT m2.m FROM m2) * (SELECT m2.m FROM m2))) AS q
+  FROM (SELECT lt.label, sum(w) AS dc FROM (
+          SELECT ls.label AS label, e.weight AS w
+          FROM e JOIN {lab} ls ON e.src = ls.id
+          UNION ALL
+          SELECT ld.label, e.weight
+          FROM e JOIN {lab} ld ON e.dst = ld.id) lt GROUP BY 1) d
+  LEFT JOIN (SELECT ls.label, sum(e.weight) AS win
+             FROM e JOIN {lab} ls ON e.src = ls.id
+             JOIN {lab} ld ON e.dst = ld.id
+             WHERE ls.label = ld.label GROUP BY 1) i USING (label))"""
+
+
+def _louvain_ml_sql(min_gain: float = 1e-6) -> str:
+    """Replica of ``louvain_community_multilevel(max_levels=1,
+    max_sweeps_per_level=2)`` on the co-purchase graph — the fixed-unroll
+    driver contract for the multi-level operator: phase 1 = sweep(dir 0)
+    then sweep(dir 1) from singletons, keep the better-modularity labeling;
+    accept the level only if it beats the singleton partition by
+    ``min_gain``; refinement = the same two sweeps from the accepted
+    labels, adopted if strictly better. All move/selection arithmetic is
+    exact-integer-weight double math, so the replay is deterministic
+    across engines; selection thresholds (1e-12 improvement, min_gain)
+    mirror the operator's constants."""
+    ctes = [
+        _SQL_COPURCHASE.strip().rstrip(","),
+        "symw AS (SELECT src, dst, weight FROM e"
+        " UNION ALL SELECT dst, src, weight FROM e)",
+        "mm AS (SELECT sum(weight) / 2.0 AS m FROM symw)",
+        "m2 AS (SELECT sum(weight) AS m FROM e)",
+        "nd AS (SELECT src AS id, sum(weight) AS kv FROM symw GROUP BY 1)",
+        "l0 AS (SELECT id, id AS label FROM nodes)",
+        _ml_q_cte("l0"),
+    ]
+    ctes += _ml_sweep_ctes("l0", "s1", 0)
+    ctes.append(_ml_q_cte("s1"))
+    ctes += _ml_sweep_ctes("s1", "s2", 1)
+    ctes.append(_ml_q_cte("s2"))
+    ctes.append(
+        """psel AS (SELECT
+  CASE WHEN (SELECT q FROM q_s2) > (SELECT q FROM q_s1) + 1e-12
+       THEN 2 ELSE 1 END AS which,
+  CASE WHEN (SELECT q FROM q_s2) > (SELECT q FROM q_s1) + 1e-12
+       THEN (SELECT q FROM q_s2) ELSE (SELECT q FROM q_s1) END AS q)"""
+    )
+    ctes.append(
+        f"""mid AS (SELECT l0.id,
+  CASE WHEN (SELECT q FROM psel) > (SELECT q FROM q_l0) + {min_gain!r}
+       THEN CASE WHEN (SELECT which FROM psel) = 2
+                 THEN s2.label ELSE s1.label END
+       ELSE l0.label END AS label
+  FROM l0 JOIN s1 ON l0.id = s1.id JOIN s2 ON l0.id = s2.id)"""
+    )
+    ctes.append(
+        f"""midq AS (SELECT
+  CASE WHEN (SELECT q FROM psel) > (SELECT q FROM q_l0) + {min_gain!r}
+       THEN (SELECT q FROM psel) ELSE (SELECT q FROM q_l0) END AS q)"""
+    )
+    ctes += _ml_sweep_ctes("mid", "r1", 0)
+    ctes.append(_ml_q_cte("r1"))
+    ctes += _ml_sweep_ctes("r1", "r2", 1)
+    ctes.append(_ml_q_cte("r2"))
+    ctes.append(
+        """rsel AS (SELECT
+  CASE WHEN (SELECT q FROM q_r2) > (SELECT q FROM q_r1) + 1e-12
+       THEN 2 ELSE 1 END AS which,
+  CASE WHEN (SELECT q FROM q_r2) > (SELECT q FROM q_r1) + 1e-12
+       THEN (SELECT q FROM q_r2) ELSE (SELECT q FROM q_r1) END AS q)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT mid.id,
+       CASE WHEN (SELECT q FROM rsel) > (SELECT q FROM midq) + 1e-12
+            THEN CASE WHEN (SELECT which FROM rsel) = 2
+                      THEN r2.label ELSE r1.label END
+            ELSE mid.label END AS label
+FROM mid JOIN r1 ON mid.id = r1.id JOIN r2 ON mid.id = r2.id
+ORDER BY mid.id"""
     )
 
 
@@ -1306,6 +1429,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return labels.orderBy("id")
 
     q["louvain_step"] = _louvain
+
+    def _louvain_ml(spark, sf):
+        # fixed-unroll contract for the multi-level operator: 1 level,
+        # 2 sweeps per phase (the karate-club pytest exercises the full
+        # contraction loop; this pins the distributed sweep/selection
+        # machinery against the SQL replica)
+        labels, _qv = louvain_community_multilevel(
+            _copurchase_graph(spark, sf), max_levels=1, max_sweeps_per_level=2
+        )
+        return labels.orderBy("id")
+
+    q["louvain_multilevel_l1"] = _louvain_ml
     q["bfs_depths"] = _bfs_depths_fixed
     q["bellman_ford_fixed"] = _bf_fixed
     # CSR/Arrow kernel strategy must agree with the same unrolled SQL oracle
@@ -1679,6 +1814,7 @@ SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6) AS gcc""",
         "connected_components": _cc_sql(CC_CONV_UNROLL),
         "pagerank_converged": _pagerank_sql(PR_CONV_ITERS),
         "louvain_step": _louvain_sql(),
+        "louvain_multilevel_l1": _louvain_ml_sql(),
         "k_core_3": _kcore_sql(3, KCORE_UNROLL),
         "scc": _scc_sql(),
         "katz": _katz_sql(KATZ_ITERS, 1e-4, 1.0),
