@@ -174,9 +174,12 @@ def ivf_topk(
     rank)``."""
     from metagraph_spark.operators.subgraph import mix31
 
+    # no persist: the normalized projection is a cheap map over the scan,
+    # and an un-unpersisted cache here would strand a full corpus copy in
+    # executor storage per call
     c = with_unit_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cu")
-    ).persist()
+    )
     q = with_unit_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
     )

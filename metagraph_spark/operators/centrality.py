@@ -495,7 +495,13 @@ def betweenness_centrality(
     np.cumsum(np.bincount(src_pos, minlength=nv), out=indptr[1:])
 
     if nodes is not None:
-        src_ids = np.sort(nodes.select(ID).toArrow().column(ID).to_numpy())
+        # unique: a duplicated source id would run (and sum) its Brandes
+        # pass twice, silently inflating every reachable score
+        src_ids = np.unique(nodes.select(ID).toArrow().column(ID).to_numpy())
+        if nv == 0 and len(src_ids):
+            raise GraphPropertyError(
+                f"betweenness sources not in graph: {src_ids[:10].tolist()}"
+            )
         srcs = np.searchsorted(node_arr, src_ids)
         # searchsorted on a missing id silently returns the insertion
         # position (or nv, past the end) — validate membership explicitly.

@@ -237,10 +237,11 @@ def louvain_community_multilevel(
     on the CURRENT level's graph, and the quotient shrinks geometrically,
     so total work is O(|E| · sweeps) at level 0 plus a fast-decaying tail —
     the standard distributed-Louvain decomposition. Sweeps alternate a
-    hash-parity gate (only half the nodes may move per sweep) to prevent
-    adjacent-pair oscillation, and every per-level state is
-    lineage-truncated. Returns ``(labels over the ORIGINAL nodes,
-    modularity)``."""
+    DIRECTION gate (even sweeps allow only moves to labels <= the node's
+    own, odd sweeps only >=), so two neighbors can never adopt each
+    other's labels in the same sweep — the 2-cycle oscillation killer;
+    every per-level state is lineage-truncated. Returns ``(labels over
+    the ORIGINAL nodes, modularity)``."""
     if graph.is_directed:
         raise GraphPropertyError("louvain requires an undirected graph")
     labels = graph.node_ids().select(ID, F.col(ID).alias("label"))

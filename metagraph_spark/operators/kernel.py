@@ -246,7 +246,15 @@ class LocalSliceStore:
     closure); this one carries only the ``run_dir`` string."""
 
     def __init__(self, run_dir: str):
+        import uuid
+
         self.run_dir = run_dir
+        # per-instance cache token: reused Python workers hold a
+        # process-global aux cache, so two runs pointing at the SAME
+        # run_dir (the natural usage once the store is injectable) must
+        # not serve each other's cached arrays — the token travels with
+        # the pickled store and scopes the cache to this run
+        self.run_token = uuid.uuid4().hex
 
     # -- lifecycle (driver)
     def init_run(self) -> None:
@@ -269,10 +277,11 @@ class LocalSliceStore:
         np.save(self._aux_path(name), arr)
 
     def get_aux(self, name: str) -> np.ndarray:
-        cached = _VEC_CACHE.get((self.run_dir, name))
+        key = (self.run_dir, self.run_token, name)
+        cached = _VEC_CACHE.get(key)
         if cached is None:
             cached = np.load(self._aux_path(name))
-            _VEC_CACHE[(self.run_dir, name)] = cached
+            _VEC_CACHE[key] = cached
         return cached
 
     # -- per-iteration vectors
@@ -471,6 +480,14 @@ def pagerank_kernel(
 
     file_backed = eb.manifest is not None
     source_df = eb.manifest if file_backed else eb.blocks
+    if slice_store is not None and not file_backed:
+        # same contract as pagerank(strategy="kernel", checkpointer=...):
+        # never silently drop an explicitly requested store
+        raise ValueError(
+            "slice_store requires file-backed blocks "
+            "(build_edge_blocks(..., spill_dir=...)); in-memory blocks run "
+            "the broadcast/collect loop, which keeps no slice vectors"
+        )
 
     if file_backed and (eb.spill_dir or slice_store is not None):
         r_dist = _distributed_superstep_loop(

@@ -28,13 +28,30 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _iceberg_ident(path: str) -> str:
+    """Sanitized Iceberg table identifier derived from the FULL path —
+    distinct paths with the same basename must land in distinct tables.
+    Prefixed when the sanitized form would start with a digit (invalid
+    unquoted identifier)."""
+    ident = re.sub(
+        r"[^A-Za-z0-9_]", "_",
+        path.rstrip("/").removesuffix(".parquet").lstrip("/"),
+    )
+    if ident and ident[0].isdigit():
+        ident = "t_" + ident
+    return ident
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table from an sf directory (parquet layout) or an
-    Iceberg catalog path when configured via ``SPARK_GRAFT_ICEBERG_NS``."""
+    Iceberg catalog path when configured via ``SPARK_GRAFT_ICEBERG_NS``.
+    The Iceberg identifier is derived from the same full path
+    :func:`write_table` uses, so write→read round-trips."""
     ns = os.environ.get("SPARK_GRAFT_ICEBERG_NS")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if ns and _iceberg_available(spark):
-        return spark.read.format("iceberg").load(f"{ns}.{name}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return spark.read.format("iceberg").load(f"{ns}.{_iceberg_ident(path)}")
+    return spark.read.parquet(path)
 
 
 def write_table(
@@ -52,10 +69,7 @@ def write_table(
     ns = os.environ.get("SPARK_GRAFT_ICEBERG_NS")
     if ns and _iceberg_available(spark):
         if table is None:
-            table = re.sub(
-                r"[^A-Za-z0-9_]", "_",
-                path.rstrip("/").removesuffix(".parquet").lstrip("/"),
-            )
+            table = _iceberg_ident(path)
         if mode == "append":
             df.writeTo(f"{ns}.{table}").append()
         elif mode == "overwrite":

@@ -195,3 +195,18 @@ def test_betweenness_validates_sources(spark):
     missing = spark.createDataFrame([(999,), (0,)], "id long")
     with pytest.raises(GraphPropertyError, match="not in graph"):
         betweenness_centrality(g, nodes=missing)
+
+
+def test_betweenness_dedups_duplicate_sources(spark):
+    """A duplicated source id must not run (and sum) its Brandes pass
+    twice."""
+    g = build(
+        df_from_edges(spark, STD_EDGES, weighted=True), is_directed=True
+    )
+    once = spark.createDataFrame([(0,), (1,)], "id long")
+    dup = spark.createDataFrame([(0,), (0,), (1,)], "id long")
+    a = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(g, nodes=once).collect()}
+    b = {r["id"]: r["betweenness"]
+         for r in betweenness_centrality(g, nodes=dup).collect()}
+    assert a == b

@@ -125,3 +125,41 @@ def test_kernel_injected_slice_store_parity(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "custom_store"))  # cleaned up
     eb.unpersist()
     mem.unpersist()
+
+
+def test_slice_store_dir_reuse_no_stale_cache(spark, tmp_path):
+    """Two runs pointing at the SAME slice-store directory must not serve
+    each other's cached aux arrays through reused Python workers (the
+    process-global cache is scoped per store instance)."""
+    from metagraph_spark.operators.kernel import LocalSliceStore
+
+    g1 = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    edges2 = [(0, 1), (1, 0), (2, 3), (3, 0), (1, 3)]
+    g2 = build(df_from_edges(spark, edges2, weighted=False), is_directed=True)
+    d = str(tmp_path / "shared_store")
+    eb1 = build_edge_blocks(g1, num_blocks=2, spill_dir=str(tmp_path / "b1"))
+    eb2 = build_edge_blocks(g2, num_blocks=2, spill_dir=str(tmp_path / "b2"))
+    pagerank_kernel(eb1, fixed_iterations=5, slice_store=LocalSliceStore(d))
+    got = {r["id"]: r["rank"] for r in
+           pagerank_kernel(eb2, fixed_iterations=5,
+                           slice_store=LocalSliceStore(d)).collect()}
+    ref = {r["id"]: r["rank"] for r in
+           pagerank_kernel(build_edge_blocks(g2, num_blocks=2),
+                           fixed_iterations=5).collect()}
+    for k in ref:
+        assert math.isclose(got[k], ref[k], rel_tol=1e-12, abs_tol=1e-15), k
+    eb1.unpersist()
+    eb2.unpersist()
+
+
+def test_slice_store_rejected_for_in_memory_blocks(spark, tmp_path):
+    import pytest
+
+    from metagraph_spark.operators.kernel import LocalSliceStore
+
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2)  # in-memory
+    with pytest.raises(ValueError, match="file-backed"):
+        pagerank_kernel(eb, fixed_iterations=2,
+                        slice_store=LocalSliceStore(str(tmp_path / "s")))
+    eb.unpersist()
