@@ -93,6 +93,29 @@ def _min_label_fixpoint(
         rnd += 1
         if fixed_rounds is None and changed == 0:
             return labels
+        if fixed_rounds is None and changed and rnd >= 3:
+            # (engages from round 3: low-diameter graphs converge before
+            # paying the extra per-round join; long chains still get the
+            # logarithmic behavior from an O(1)-delayed start)
+            # pointer jumping (shortcutting): label[v] <- label[label[v]].
+            # Hash-min alone needs O(diameter) |E|-row rounds — a chain of
+            # 100k nodes would blow max_rounds; with per-round shortcutting
+            # label distances roughly double per round, giving the O(log V)
+            # shape of the two-phase distributed CC algorithms. The jump is
+            # a |V|-row self-join (cheap next to the |E| gather), preserves
+            # the min-id-per-component fixpoint exactly, and a hash-min
+            # round with zero changes is still a true fixpoint (labels are
+            # then constant across every edge), so convergence detection is
+            # unaffected. The fixed_rounds path stays pure hash-min — the
+            # DuckDB oracle unrolls that exact recurrence.
+            labels = truncate_lineage(
+                labels.join(
+                    labels.select(
+                        F.col(ID).alias("label"), F.col("label").alias("_pl")
+                    ),
+                    "label",
+                ).select(ID, F.col("_pl").alias("label"))
+            )
     if fixed_rounds is not None:
         return labels
     raise ConvergenceError(

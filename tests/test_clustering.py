@@ -158,3 +158,14 @@ def test_scc_two_cycles_and_singletons(spark):
             frozenset({7}),
         ]
     )
+
+
+def test_cc_high_diameter_chain(spark):
+    """A 2000-node path has diameter 1999 — plain hash-min would blow
+    max_rounds=200; pointer jumping must converge it in O(log V) rounds."""
+    edges = [(i, i + 1) for i in range(1999)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    labels = connected_components(g, max_rounds=40)
+    got = {r["label"] for r in labels.collect()}
+    assert got == {0}
+    assert labels.count() == 2000
