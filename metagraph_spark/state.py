@@ -85,8 +85,32 @@ class CheckpointManager:
 
 
 def truncate_lineage(df: DataFrame) -> DataFrame:
-    """Break lineage without durability (localCheckpoint, eager)."""
-    return df.localCheckpoint(eager=True)
+    """Break lineage without durability (localCheckpoint, eager), and RESET
+    plan statistics.
+
+    ``Dataset.localCheckpoint`` rewrites the ORIGINAL plan's statistics
+    onto the new ``LogicalRDD``. An iterative loop whose next plan
+    references the state twice (hash-min gather + merge, or a pointer-jump
+    self-join) then roughly SQUARES the ``sizeInBytes`` estimate every
+    round — the stat is an unbounded BigInteger whose digit count doubles
+    per round, and after a few dozen rounds Catalyst's size-only stats
+    visitor spends minutes multiplying million-digit integers on the
+    driver (observed: Boruvka's inner CC hung exactly there once pointer
+    jumping doubled the growth rate). Rebuilding the DataFrame from the
+    checkpointed internal RDD yields a ``LogicalRDD`` with bounded default
+    stats instead. Join strategy is unaffected in practice: AQE (enabled
+    session-wide, ``session.py``) re-plans joins from RUNTIME sizes, which
+    the carried-forward estimates misstated anyway."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = df.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:  # Connect or internal-API drift: checkpoint is valid
+        return ck
 
 
 class LineageManager:
