@@ -144,7 +144,10 @@ class LineageManager:
 
     def materialize(self, df: DataFrame) -> DataFrame:
         self._i += 1
-        return df.localCheckpoint(eager=True)
+        # shares truncate_lineage's stats reset: superstep plans reference
+        # the previous state twice, so carried-forward estimates compound
+        # across supersteps (see truncate_lineage's docstring)
+        return truncate_lineage(df)
 
     def finalize(self, state: DataFrame) -> DataFrame:
         """Close out the loop on a successful exit path."""
