@@ -260,21 +260,27 @@ cd AS (SELECT lab.label, sum(nd.kv) AS kc
        FROM nd JOIN lab ON nd.id = lab.id GROUP BY 1),
 wnc AS (SELECT s.src AS id, lab.label, sum(s.weight) AS w
         FROM symw s JOIN lab ON s.dst = lab.id GROUP BY 1, 2),
+owng AS (SELECT lab.id,
+                coalesce(w.w, 0) - nd.kv * (cd.kc - nd.kv)
+                                   / (2 * (SELECT m FROM mm)) AS g
+         FROM lab JOIN nd ON lab.id = nd.id
+         JOIN cd ON lab.label = cd.label
+         LEFT JOIN wnc w ON w.id = lab.id AND w.label = lab.label),
 cand AS (SELECT w.id, w.label,
-                w.w - nd.kv * (cd.kc - CASE WHEN w.label = lab.label
-                                            THEN nd.kv ELSE 0 END)
-                      / (2 * (SELECT m FROM mm)) AS gain
+                w.w - nd.kv * cd.kc / (2 * (SELECT m FROM mm)) AS gain
          FROM wnc w JOIN nd ON w.id = nd.id JOIN cd ON w.label = cd.label
-         JOIN lab ON w.id = lab.id),
+         JOIN lab ON w.id = lab.id
+         WHERE w.label <> lab.label),
 best AS (SELECT id, label AS new_label, gain FROM (
            SELECT id, label, gain,
                   row_number() OVER (PARTITION BY id
                                      ORDER BY gain DESC, label ASC) AS rn
            FROM cand) WHERE rn = 1),
 refined AS (SELECT lab.id,
-                   CASE WHEN b.gain > 0 THEN b.new_label
+                   CASE WHEN b.gain > og.g THEN b.new_label
                         ELSE lab.label END AS label
-            FROM lab LEFT JOIN best b ON lab.id = b.id),
+            FROM lab LEFT JOIN best b ON lab.id = b.id
+            JOIN owng og ON lab.id = og.id),
 m2 AS (SELECT sum(weight) AS m FROM e),
 q1 AS (SELECT sum(coalesce(win, 0) / (SELECT m FROM m2)
               - dc * dc / (4 * (SELECT m FROM m2) * (SELECT m FROM m2))) AS q
@@ -323,22 +329,27 @@ def _ml_sweep_ctes(inl: str, out: str, direction: int) -> list[str]:
         f"""wnc_{out} AS (SELECT s.src AS id, l.label, sum(s.weight) AS w
   FROM symw s JOIN {inl} l ON s.dst = l.id
   WHERE s.src <> s.dst GROUP BY 1, 2)""",
+        f"""owng_{out} AS (SELECT l.id,
+       coalesce(w.w, 0) - nd.kv * (cd.kc - nd.kv)
+                          / (2 * (SELECT m FROM mm)) AS g
+  FROM {inl} l JOIN nd ON l.id = nd.id
+  JOIN cd_{out} cd ON l.label = cd.label
+  LEFT JOIN wnc_{out} w ON w.id = l.id AND w.label = l.label)""",
         f"""cand_{out} AS (SELECT w.id, w.label,
-       w.w - nd.kv * (cd.kc - CASE WHEN w.label = lab.label
-                                   THEN nd.kv ELSE 0 END)
-             / (2 * (SELECT m FROM mm)) AS gain
+       w.w - nd.kv * cd.kc / (2 * (SELECT m FROM mm)) AS gain
   FROM wnc_{out} w JOIN nd ON w.id = nd.id
   JOIN cd_{out} cd ON w.label = cd.label
   JOIN {inl} lab ON w.id = lab.id
-  WHERE {d_filter})""",
+  WHERE w.label <> lab.label AND {d_filter})""",
         f"""best_{out} AS (SELECT id, label AS new_label, gain FROM (
   SELECT id, label, gain,
          row_number() OVER (PARTITION BY id
                             ORDER BY gain DESC, label ASC) AS rn
   FROM cand_{out}) WHERE rn = 1)""",
         f"""{out} AS (SELECT l.id,
-       CASE WHEN b.gain > 0 THEN b.new_label ELSE l.label END AS label
-  FROM {inl} l LEFT JOIN best_{out} b ON l.id = b.id)""",
+       CASE WHEN b.gain > og.g THEN b.new_label ELSE l.label END AS label
+  FROM {inl} l LEFT JOIN best_{out} b ON l.id = b.id
+  JOIN owng_{out} og ON l.id = og.id)""",
     ]
 
 

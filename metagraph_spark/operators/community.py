@@ -76,25 +76,60 @@ def modularity(graph: Graph, labels: DataFrame) -> float:
 
 
 def _canon_edges(graph: Graph) -> DataFrame:
-    """Canonical undirected weighted edges, KEEPING self-loops when the
-    graph is a Louvain quotient (already canonical) — the class method
-    drops self-loops, which would lose contracted intra-community
-    weight."""
+    """Canonical undirected weighted edges, KEEPING self-loops: quotient
+    graphs carry contracted intra-community weight on them, and
+    python-louvain counts an input graph's self-loops once in m/e_in and
+    twice in degree — the class canonical method drops them, so they are
+    re-added here (deduplicated by max weight, the same rule the canonical
+    method applies to parallel pairs)."""
     if graph.metadata.get("louvain_quotient"):
         return graph.edges
     e = graph.canonical_undirected_edges()
+    loops = graph.edges.filter(F.col(SRC) == F.col(DST))
     if not graph.is_weighted:
         e = e.withColumn(WEIGHT, F.lit(1.0))
-    return e
+        loops = loops.withColumn(WEIGHT, F.lit(1.0))
+    loops = (
+        loops.select(SRC, DST, WEIGHT)
+        .groupBy(SRC, DST)
+        .agg(F.max(WEIGHT).alias(WEIGHT))
+    )
+    return e.unionAll(loops)
+
+
+def _sweep_ctx(graph: Graph):
+    """Graph-invariant aggregates shared by every sweep at one level:
+    ``(sym, m, node_deg)``. sym mirrors self-loops too — a (contracted)
+    node's internal weight w must contribute 2w to its degree
+    (python-louvain convention) and w to m. Computed once per level and
+    passed into each sweep instead of being rebuilt per sweep (a full-edge
+    scan plus a driver collect each time)."""
+    e = _canon_edges(graph)
+    sym = e.unionAll(
+        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+    ).persist()
+    total = sym.agg(F.sum(WEIGHT)).collect()[0][0]
+    m = (total or 0.0) / 2.0
+    node_deg = truncate_lineage(
+        sym.groupBy(F.col(SRC).alias(ID)).agg(F.sum(WEIGHT).alias("kv"))
+    )
+    return sym, m, node_deg
 
 
 def _one_refinement_sweep(
-    graph: Graph, labels: DataFrame, direction: int | None = None
+    graph: Graph,
+    labels: DataFrame,
+    direction: int | None = None,
+    ctx=None,
 ) -> DataFrame:
-    """Synchronous greedy modularity sweep: each node adopts the incident
-    community maximizing the Louvain move gain (v removed from its own
-    community first), staying put on non-positive gain; ties to smallest
-    label.
+    """Synchronous greedy modularity sweep with python-louvain move
+    semantics: v is removed from its community, the insertion gain of every
+    incident community is compared against RE-INSERTING into its own
+    (``kc - kv`` mass), and v moves to the argmax only on a STRICT
+    improvement over staying — a move whose insertion gain is negative but
+    still better than the own-community gain is taken, matching
+    python-louvain (a plain ``gain > 0`` rule misses those strictly
+    improving moves). Ties to the smallest label.
 
     ``direction`` gates moves when the sweep is ITERATED (the multi-level
     loop): 0 allows only moves to labels <= the node's own, 1 only to
@@ -102,17 +137,11 @@ def _one_refinement_sweep(
     labels in the same sweep (a swap needs one move down and one move up),
     which kills the 2-cycle oscillation synchronous sweeps are prone to —
     the alternating-direction trick from parallel Louvain implementations
-    (Grappolo-style). ``None`` = ungated single sweep (the original
-    ``louvain_community`` behavior)."""
-    e = _canon_edges(graph)
-    # mirror self-loops too: a contracted community's internal weight w must
-    # contribute 2w to its degree (python-louvain convention) and w to m.
-    # Graphs without self-loops (every level-0 input) are unaffected.
-    sym = e.unionAll(
-        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
-    )
-    m = sym.agg(F.sum(WEIGHT)).collect()[0][0] / 2.0
-    node_deg = sym.groupBy(F.col(SRC).alias(ID)).agg(F.sum(WEIGHT).alias("kv"))
+    (Grappolo-style). ``None`` = ungated single sweep (the
+    ``louvain_community`` step)."""
+    sym, m, node_deg = ctx if ctx is not None else _sweep_ctx(graph)
+    if m <= 0:
+        return labels  # edgeless graph: nothing can move
     comm_deg = (
         node_deg.join(labels, ID)
         .groupBy("label")
@@ -129,28 +158,32 @@ def _one_refinement_sweep(
         .groupBy(F.col(SRC).alias(ID), "label")
         .agg(F.sum(WEIGHT).alias("w"))
     )
-    # standard Louvain move gain: v is first REMOVED from its community, so
-    # the own community's degree mass excludes kv — without this the
-    # comparison is biased against staying and sweeps oscillate
     own = labels.select(ID, F.col("label").alias("_own"))
+    # gain of re-inserting v into its own community after removal (its
+    # edge weight to it may be zero — the community may not be incident)
+    own_gain = (
+        labels.join(node_deg, ID)
+        .join(comm_deg, "label")
+        .join(w_nc, [ID, "label"], "left")
+        .select(
+            ID,
+            (
+                F.coalesce("w", F.lit(0.0))
+                - F.col("kv") * (F.col("kc") - F.col("kv")) / F.lit(2.0 * m)
+            ).alias("own_gain"),
+        )
+    )
     cand = (
         w_nc.join(node_deg, ID)
         .join(comm_deg, "label")
         .join(own, ID)
+        .filter(F.col("label") != F.col("_own"))
         .select(
             ID,
             "label",
             "_own",
             (
-                F.col("w")
-                - F.col("kv")
-                * (
-                    F.col("kc")
-                    - F.when(
-                        F.col("label") == F.col("_own"), F.col("kv")
-                    ).otherwise(F.lit(0.0))
-                )
-                / F.lit(2.0 * m)
+                F.col("w") - F.col("kv") * F.col("kc") / F.lit(2.0 * m)
             ).alias("gain"),
         )
     )
@@ -163,9 +196,10 @@ def _one_refinement_sweep(
     ).select(ID, (-F.col("b.nl")).alias("new_label"), F.col("b.gain").alias("gain"))
     return (
         labels.join(best, ID, "left")
+        .join(own_gain, ID, "left")
         .select(
             ID,
-            F.when(F.col("gain") > 0, F.col("new_label"))
+            F.when(F.col("gain") > F.col("own_gain"), F.col("new_label"))
             .otherwise(F.col("label")).alias("label"),
         )
     )
@@ -213,7 +247,7 @@ def _quotient_graph(graph: Graph, labels: DataFrame) -> Graph:
     )
     nodes = labels.select(F.col("label").alias(ID)).distinct()
     return Graph(
-        edges=q_edges,
+        edges=truncate_lineage(q_edges),
         nodes=nodes,
         is_directed=False,
         metadata={"louvain_quotient": True},
@@ -261,13 +295,7 @@ def louvain_community_multilevel(
             ).select(ID, F.col("_nl").alias("label"))
         )
         q_best = best_q
-        q = _quotient_graph(g_cur, best_lab)
-        g_cur = Graph(
-            edges=truncate_lineage(q.edges),
-            nodes=q.nodes,
-            is_directed=False,
-            metadata={"louvain_quotient": True},
-        )
+        g_cur = _quotient_graph(g_cur, best_lab)
     # final refinement on the ORIGINAL graph: the coarse levels move whole
     # communities; one more sweep phase at node granularity recovers the
     # individual-node corrections the contraction froze out
@@ -285,18 +313,22 @@ def _phase1(
     modularity, not changed-row count (synchronous sweeps can cycle), and
     modularity is invariant under self-loop-preserving contraction, so q
     computed on the level graph IS q on the original graph."""
+    ctx = _sweep_ctx(g_cur)
     best_lab, best_q, stall = None, None, 0
-    for sweep in range(max_sweeps):
-        lab = truncate_lineage(
-            _one_refinement_sweep(g_cur, lab, direction=sweep % 2)
-        )
-        q = modularity(g_cur, lab)
-        if best_q is None or q > best_q + 1e-12:
-            best_lab, best_q, stall = lab, q, 0
-        else:
-            stall += 1
-            if stall >= 3:  # neither direction improving -> done
-                break
+    try:
+        for sweep in range(max_sweeps):
+            lab = truncate_lineage(
+                _one_refinement_sweep(g_cur, lab, direction=sweep % 2, ctx=ctx)
+            )
+            q = modularity(g_cur, lab)
+            if best_q is None or q > best_q + 1e-12:
+                best_lab, best_q, stall = lab, q, 0
+            else:
+                stall += 1
+                if stall >= 3:  # neither direction improving -> done
+                    break
+    finally:
+        ctx[0].unpersist()
     return best_lab, best_q
 
 

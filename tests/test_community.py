@@ -96,3 +96,30 @@ def test_louvain_multilevel_vs_networkx_karate(spark):
         comms.setdefault(c, set()).add(n)
     nx_q = nx.community.modularity(G, list(comms.values()), weight=None)
     assert abs(nx_q - q) < 1e-6, (nx_q, q)
+
+
+def test_louvain_multilevel_edgeless_graph(spark):
+    from metagraph_spark.operators.community import louvain_community_multilevel
+    from metagraph_spark.graph import Graph
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    g = Graph(edges=empty, nodes=nodes, is_directed=False)
+    labels, q = louvain_community_multilevel(g, max_levels=2)
+    assert labels.count() == 3
+    assert q == 0.0
+
+
+def test_modularity_counts_input_self_loops(spark):
+    """python-louvain counts a self-loop once in m/e_in and twice in
+    degree; our modularity must match networkx on a graph with one."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 2, 2.0)]
+    g = build(df_from_edges(spark, edges), is_directed=False)
+    labels_df = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 2)], "id long, label long"
+    )
+    got = modularity(g, labels_df)
+    nxg = nx.Graph()
+    nxg.add_weighted_edges_from(edges)
+    want = nx.community.modularity(nxg, [{0, 1}, {2}], weight="weight")
+    assert abs(got - want) < 1e-9, (got, want)
