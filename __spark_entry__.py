@@ -259,7 +259,8 @@ nd AS (SELECT src AS id, sum(weight) AS kv FROM symw GROUP BY 1),
 cd AS (SELECT lab.label, sum(nd.kv) AS kc
        FROM nd JOIN lab ON nd.id = lab.id GROUP BY 1),
 wnc AS (SELECT s.src AS id, lab.label, sum(s.weight) AS w
-        FROM symw s JOIN lab ON s.dst = lab.id GROUP BY 1, 2),
+        FROM symw s JOIN lab ON s.dst = lab.id
+        WHERE s.src <> s.dst GROUP BY 1, 2),
 owng AS (SELECT lab.id,
                 coalesce(w.w, 0) - nd.kv * (cd.kc - nd.kv)
                                    / (2 * (SELECT m FROM mm)) AS g

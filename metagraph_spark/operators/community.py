@@ -219,7 +219,17 @@ def louvain_community(graph: Graph, lpa_rounds: int = 20) -> tuple[DataFrame, fl
     if graph.is_directed:
         raise GraphPropertyError("louvain requires an undirected graph")
     labels = label_propagation_community(graph, max_rounds=lpa_rounds)
-    refined = _one_refinement_sweep(graph, labels)
+    # build the sweep ctx HERE so the persisted symmetrized edge table can
+    # be unpersisted once the sweep's result is materialized — letting
+    # _one_refinement_sweep build it internally strands a cached 2|E|-row
+    # copy in executor storage for the session lifetime
+    ctx = _sweep_ctx(graph)
+    try:
+        refined = truncate_lineage(
+            _one_refinement_sweep(graph, labels, ctx=ctx)
+        )
+    finally:
+        ctx[0].unpersist()
     q_before = modularity(graph, labels)
     q_after = modularity(graph, refined)
     if q_after > q_before:

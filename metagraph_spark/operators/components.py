@@ -79,20 +79,11 @@ def _min_label_fixpoint(
         new_labels = new_labels.observe(
             obs, F.count(F.when(F.col("_changed"), 1)).alias("changed")
         )
-        if checkpointer is not None:
-            new_labels = checkpointer.save(
-                rnd,
-                new_labels,
-                {"algorithm": "connected_components"},
-            )
-        else:
-            new_labels = truncate_lineage(new_labels)
+        new_labels = truncate_lineage(new_labels)
         changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels.drop("_changed")
         rnd += 1
-        if fixed_rounds is None and changed == 0:
-            return labels
         if fixed_rounds is None and changed and rnd >= 3:
             # (engages from round 3: low-diameter graphs converge before
             # paying the extra per-round join; long chains still get the
@@ -116,6 +107,16 @@ def _min_label_fixpoint(
                     "label",
                 ).select(ID, F.col("_pl").alias("label"))
             )
+        # checkpoint AFTER the jump so a resume continues from exactly the
+        # state the loop would next consume — saving pre-jump labels was
+        # still correct (any min-label state is) but silently discarded the
+        # jump's progress on every resume
+        if checkpointer is not None:
+            labels = checkpointer.save(
+                rnd - 1, labels, {"algorithm": "connected_components"}
+            )
+        if fixed_rounds is None and changed == 0:
+            return labels
     if fixed_rounds is not None:
         return labels
     raise ConvergenceError(

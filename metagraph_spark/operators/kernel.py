@@ -280,6 +280,16 @@ class LocalSliceStore:
         key = (self.run_dir, self.run_token, name)
         cached = _VEC_CACHE.get(key)
         if cached is None:
+            # evict stale entries for the same run_dir under a DIFFERENT
+            # token: only the current run's aux can ever be read again, and
+            # long-lived reused python workers would otherwise accumulate
+            # one O(n) array per kernel run indefinitely
+            for stale in [
+                k
+                for k in _VEC_CACHE
+                if k[0] == self.run_dir and k[1] != self.run_token
+            ]:
+                del _VEC_CACHE[stale]
             cached = np.load(self._aux_path(name))
             _VEC_CACHE[key] = cached
         return cached
