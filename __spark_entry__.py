@@ -1349,15 +1349,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # -- degree / utility operators (§2.1 #5-8, §2.2)
-    q["graph_degree"] = lambda spark, sf: (
-        mutil.degree(_copurchase_graph(spark, sf))
-        .orderBy("id")
-    )
-    q["degree_centrality"] = lambda spark, sf: (
-        mutil.degree_centrality(_copurchase_graph(spark, sf))
-        .select("id", F.round("centrality", 6).alias("centrality"))
-        .orderBy("id")
-    )
+    # degree + degree_centrality share one entry (centrality is the same
+    # aggregate one projection later) so queries() fits the driver's 50-row
+    # correctness-artifact cap with every entry visible
+    def _graph_degree(spark, sf):
+        g = _copurchase_graph(spark, sf)
+        deg = mutil.degree(g)
+        cen = mutil.degree_centrality(g)
+        return (
+            deg.join(cen, "id")
+            .select("id", "degree", F.round("centrality", 6).alias("centrality"))
+            .orderBy("id")
+        )
+
+    q["graph_degree"] = _graph_degree
     q["aggregate_edges_sum"] = lambda spark, sf: (
         mutil.aggregate_edges(
             _copurchase_graph(spark, sf), "sum", 0.0, in_edges=True, out_edges=True
@@ -1632,13 +1637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy("doc_id")
     )
-    q["dedup_ngram_jaccard"] = lambda spark, sf: (
-        mdedup.ngram_jaccard_pairs(
-            read_table(spark, sf, "documents"), n=3, threshold=0.8
-        )
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    # (dedup_ngram_jaccard moved to tests/test_functions.py::
+    # test_ngram_jaccard_duckdb_oracle — same DuckDB-oracle comparison at
+    # sf0.001 — to keep queries() within the driver's 50-entry artifact cap)
     q["dedup_minhash_lsh"] = lambda spark, sf: (
         mdedup.minhash_lsh_pairs(
             read_table(spark, sf, "documents"),
@@ -1750,7 +1751,13 @@ def _materialize_ctes(sql: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     raw = _oracle_sql_raw()
-    return {k: _materialize_ctes(v) for k, v in raw.items()}
+    # "_extra_*" oracles back pytest/selfcheck comparisons for operators not
+    # in queries() (50-entry driver cap) — exclude them from the driver dict
+    return {
+        k: _materialize_ctes(v)
+        for k, v in raw.items()
+        if not k.startswith("_extra_")
+    }
 
 
 def _oracle_sql_raw() -> dict[str, str]:
@@ -1763,14 +1770,9 @@ def _oracle_sql_raw() -> dict[str, str]:
         + "\nSELECT src, dst, weight FROM de ORDER BY src, dst",
         "graph_degree": cp
         + """
-, deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1)
-SELECT nodes.id, coalesce(deg.degree, 0) AS degree
-FROM nodes LEFT JOIN deg ON nodes.id = deg.id ORDER BY 1""",
-        "degree_centrality": cp
-        + """
 , nn AS (SELECT count(*)::double AS c FROM nodes),
 deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1)
-SELECT nodes.id,
+SELECT nodes.id, coalesce(deg.degree, 0) AS degree,
        round(coalesce(deg.degree, 0) / ((SELECT c FROM nn) - 1), 6) AS centrality
 FROM nodes LEFT JOIN deg ON nodes.id = deg.id ORDER BY 1""",
         "aggregate_edges_sum": cp
@@ -1855,7 +1857,9 @@ SELECT doc_id,
          PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
        ) AS dup_count
 FROM documents ORDER BY doc_id""",
-        "dedup_ngram_jaccard": r"""
+        # retained for tests/test_functions.py::test_ngram_jaccard_duckdb_oracle
+        # and tools/selfcheck.py --extra; NOT in queries() (50-entry cap)
+        "_extra_dedup_ngram_jaccard": r"""
 WITH d AS (SELECT doc_id,
                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') tk
            FROM documents),

@@ -291,3 +291,32 @@ def test_ivf_topk_structure_and_recall(spark, emb_df):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ngram_jaccard_duckdb_oracle(spark):
+    """Replaces the retired `dedup_ngram_jaccard` queries() entry (dropped to
+    fit the driver's 50-row correctness-artifact cap): same Spark query vs the
+    same DuckDB oracle (`_extra_dedup_ngram_jaccard`), same compare semantics
+    (sorted columns, floats rounded to 6)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        dedup.ngram_jaccard_pairs(
+            spark.read.parquet(f"{sf}/documents.parquet"), n=3, threshold=0.8
+        )
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    sql = entrymod._oracle_sql_raw()["_extra_dedup_ngram_jaccard"]
+    want = con.execute(entrymod._materialize_ctes(sql)).fetchall()
+    got_n = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in got)
+    want_n = sorted((a, b, round(j, 6)) for a, b, j in want)
+    assert got_n == want_n and len(got_n) > 0
