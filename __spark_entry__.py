@@ -376,13 +376,15 @@ def _louvain_ml_sql(min_gain: float = 1e-6) -> str:
     """Replica of ``louvain_community_multilevel(max_levels=1,
     max_sweeps_per_level=2)`` on the co-purchase graph — the fixed-unroll
     driver contract for the multi-level operator: phase 1 = sweep(dir 0)
-    then sweep(dir 1) from singletons, keep the better-modularity labeling;
-    accept the level only if it beats the singleton partition by
-    ``min_gain``; refinement = the same two sweeps from the accepted
-    labels, adopted if strictly better. All move/selection arithmetic is
-    exact-integer-weight double math, so the replay is deterministic
-    across engines; selection thresholds (1e-12 improvement, min_gain)
-    mirror the operator's constants."""
+    then sweep(dir 1) from singletons, the LAST sweep's labeling is the
+    phase result (the operator judges per-sweep convergence on observed
+    move metrics and evaluates exact modularity only on phase exit);
+    accept the level only if the phase result beats the singleton
+    partition by ``min_gain``; refinement = the same two sweeps from the
+    accepted labels, adopted if strictly better. All move/selection
+    arithmetic is exact-integer-weight double math, so the replay is
+    deterministic across engines; selection thresholds (1e-12
+    improvement, min_gain) mirror the operator's constants."""
     ctes = [
         _SQL_COPURCHASE.strip().rstrip(","),
         "symw AS (SELECT src, dst, weight FROM e"
@@ -394,49 +396,29 @@ def _louvain_ml_sql(min_gain: float = 1e-6) -> str:
         _ml_q_cte("l0"),
     ]
     ctes += _ml_sweep_ctes("l0", "s1", 0)
-    ctes.append(_ml_q_cte("s1"))
     ctes += _ml_sweep_ctes("s1", "s2", 1)
     ctes.append(_ml_q_cte("s2"))
     ctes.append(
-        """psel AS (SELECT
-  CASE WHEN (SELECT q FROM q_s2) > (SELECT q FROM q_s1) + 1e-12
-       THEN 2 ELSE 1 END AS which,
-  CASE WHEN (SELECT q FROM q_s2) > (SELECT q FROM q_s1) + 1e-12
-       THEN (SELECT q FROM q_s2) ELSE (SELECT q FROM q_s1) END AS q)"""
-    )
-    ctes.append(
         f"""mid AS (SELECT l0.id,
-  CASE WHEN (SELECT q FROM psel) > (SELECT q FROM q_l0) + {min_gain!r}
-       THEN CASE WHEN (SELECT which FROM psel) = 2
-                 THEN s2.label ELSE s1.label END
-       ELSE l0.label END AS label
-  FROM l0 JOIN s1 ON l0.id = s1.id JOIN s2 ON l0.id = s2.id)"""
+  CASE WHEN (SELECT q FROM q_s2) > (SELECT q FROM q_l0) + {min_gain!r}
+       THEN s2.label ELSE l0.label END AS label
+  FROM l0 JOIN s2 ON l0.id = s2.id)"""
     )
     ctes.append(
         f"""midq AS (SELECT
-  CASE WHEN (SELECT q FROM psel) > (SELECT q FROM q_l0) + {min_gain!r}
-       THEN (SELECT q FROM psel) ELSE (SELECT q FROM q_l0) END AS q)"""
+  CASE WHEN (SELECT q FROM q_s2) > (SELECT q FROM q_l0) + {min_gain!r}
+       THEN (SELECT q FROM q_s2) ELSE (SELECT q FROM q_l0) END AS q)"""
     )
     ctes += _ml_sweep_ctes("mid", "r1", 0)
-    ctes.append(_ml_q_cte("r1"))
     ctes += _ml_sweep_ctes("r1", "r2", 1)
     ctes.append(_ml_q_cte("r2"))
-    ctes.append(
-        """rsel AS (SELECT
-  CASE WHEN (SELECT q FROM q_r2) > (SELECT q FROM q_r1) + 1e-12
-       THEN 2 ELSE 1 END AS which,
-  CASE WHEN (SELECT q FROM q_r2) > (SELECT q FROM q_r1) + 1e-12
-       THEN (SELECT q FROM q_r2) ELSE (SELECT q FROM q_r1) END AS q)"""
-    )
     return (
         "WITH " + ",\n".join(ctes)
         + """
 SELECT mid.id,
-       CASE WHEN (SELECT q FROM rsel) > (SELECT q FROM midq) + 1e-12
-            THEN CASE WHEN (SELECT which FROM rsel) = 2
-                      THEN r2.label ELSE r1.label END
-            ELSE mid.label END AS label
-FROM mid JOIN r1 ON mid.id = r1.id JOIN r2 ON mid.id = r2.id
+       CASE WHEN (SELECT q FROM q_r2) > (SELECT q FROM midq) + 1e-12
+            THEN r2.label ELSE mid.label END AS label
+FROM mid JOIN r2 ON mid.id = r2.id
 ORDER BY mid.id"""
     )
 

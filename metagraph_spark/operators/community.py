@@ -22,7 +22,7 @@ Reference contracts:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from metagraph_spark.exceptions import GraphPropertyError
@@ -31,18 +31,20 @@ from metagraph_spark.operators.lpa import label_propagation_community
 from metagraph_spark.state import truncate_lineage
 
 
-def modularity(graph: Graph, labels: DataFrame) -> float:
+def modularity(graph: Graph, labels: DataFrame, m: float | None = None) -> float:
     """Weighted Newman modularity of a partition of an undirected graph:
     ``Q = Σ_c [ e_in(c)/m − (deg(c)/2m)² ]`` with self-loops counted once
     in e_in and twice in degree (standard convention, matches
-    python-louvain)."""
+    python-louvain). ``m`` (total edge weight) may be passed in when the
+    caller already holds it (the sweep ctx does) to skip one scan."""
     if graph.is_directed:
         raise GraphPropertyError("modularity requires an undirected graph")
     e = _canon_edges(graph)
     lab_s = labels.select(F.col(ID).alias(SRC), F.col("label").alias("_ls"))
     lab_d = labels.select(F.col(ID).alias(DST), F.col("label").alias("_ld"))
     ej = e.join(lab_s, SRC).join(lab_d, DST).persist()
-    m = ej.agg(F.sum(WEIGHT)).collect()[0][0]
+    if m is None:
+        m = ej.agg(F.sum(WEIGHT)).collect()[0][0]
     if not m:
         ej.unpersist()
         return 0.0
@@ -121,6 +123,7 @@ def _one_refinement_sweep(
     labels: DataFrame,
     direction: int | None = None,
     ctx=None,
+    observer: Observation | None = None,
 ) -> DataFrame:
     """Synchronous greedy modularity sweep with python-louvain move
     semantics: v is removed from its community, the insertion gain of every
@@ -194,15 +197,30 @@ def _one_refinement_sweep(
     best = cand.groupBy(ID).agg(
         F.max(F.struct(F.col("gain"), (-F.col("label")).alias("nl"))).alias("b")
     ).select(ID, (-F.col("b.nl")).alias("new_label"), F.col("b.gain").alias("gain"))
-    return (
+    moved = F.col("gain") > F.col("own_gain")
+    decided = (
         labels.join(best, ID, "left")
         .join(own_gain, ID, "left")
         .select(
             ID,
-            F.when(F.col("gain") > F.col("own_gain"), F.col("new_label"))
-            .otherwise(F.col("label")).alias("label"),
+            F.when(moved, F.col("new_label")).otherwise(F.col("label"))
+            .alias("label"),
+            F.when(moved, F.lit(1)).otherwise(F.lit(0)).alias("_moved"),
+            # exact single-move ΔQ in modularity units ((gain-own_gain)/m);
+            # simultaneous moves interact, so the SUM is an estimate of the
+            # sweep's actual ΔQ — good enough to judge convergence without
+            # a per-sweep exact-modularity pass
+            F.when(moved, (F.col("gain") - F.col("own_gain")) / F.lit(m))
+            .otherwise(F.lit(0.0)).alias("_dq"),
         )
     )
+    if observer is not None:
+        decided = decided.observe(
+            observer,
+            F.sum("_moved").alias("moved"),
+            F.sum("_dq").alias("est_dq"),
+        )
+    return decided.select(ID, "label")
 
 
 def louvain_community(graph: Graph, lpa_rounds: int = 20) -> tuple[DataFrame, float]:
@@ -294,7 +312,7 @@ def louvain_community_multilevel(
     for _level in range(max_levels):
         lab = g_cur.node_ids().select(ID, F.col(ID).alias("label"))
         best_lab, best_q = _phase1(g_cur, lab, max_sweeps_per_level)
-        if best_q is None or best_q <= q_best + min_gain:
+        if best_q <= q_best + min_gain:
             break
         labels = truncate_lineage(
             labels.join(
@@ -310,36 +328,53 @@ def louvain_community_multilevel(
     # communities; one more sweep phase at node granularity recovers the
     # individual-node corrections the contraction froze out
     ref_lab, ref_q = _phase1(graph, labels, max_sweeps_per_level)
-    if ref_q is not None and ref_q > q_best + 1e-12:
+    if ref_q > q_best + 1e-12:
         labels, q_best = ref_lab, ref_q
     return labels, q_best
 
 
 def _phase1(
     g_cur: Graph, lab: DataFrame, max_sweeps: int
-) -> tuple[DataFrame | None, float | None]:
-    """Louvain phase 1: iterate alternating-direction synchronous sweeps,
-    KEEPING the best-modularity labeling seen. Convergence is judged on
-    modularity, not changed-row count (synchronous sweeps can cycle), and
+) -> tuple[DataFrame, float]:
+    """Louvain phase 1: iterate alternating-direction synchronous sweeps.
+
+    ONE Spark job per sweep: the sweep's move decision carries an
+    ``observe`` with the moved-node count and the summed single-move ΔQ
+    estimate, collected by the same localCheckpoint action that
+    materializes the new labels — no per-sweep exact-modularity pass (that
+    was 2 extra jobs + 2 extra |E|-row label joins per sweep). Convergence:
+    two consecutive dry sweeps (one per gate direction — a sweep dry in one
+    direction can still move nodes in the other). Exact ``modularity`` is
+    evaluated ONCE on level exit, reusing the ctx's total weight ``m``;
     modularity is invariant under self-loop-preserving contraction, so q
-    computed on the level graph IS q on the original graph."""
+    computed on the level graph IS q on the original graph. The accepted
+    labeling is the LAST sweep's (gated sweeps only take strictly-improving
+    moves, so estimated ΔQ is monotone non-negative; the level-acceptance
+    test against the entry labeling still guards the pathological case)."""
     ctx = _sweep_ctx(g_cur)
-    best_lab, best_q, stall = None, None, 0
+    sym, m, _node_deg = ctx
+    if m <= 0:
+        sym.unpersist()
+        return lab, 0.0
+    stall = 0
     try:
         for sweep in range(max_sweeps):
+            obs = Observation(f"louvain_sweep_{sweep}_{id(lab)}")
             lab = truncate_lineage(
-                _one_refinement_sweep(g_cur, lab, direction=sweep % 2, ctx=ctx)
+                _one_refinement_sweep(
+                    g_cur, lab, direction=sweep % 2, ctx=ctx, observer=obs
+                )
             )
-            q = modularity(g_cur, lab)
-            if best_q is None or q > best_q + 1e-12:
-                best_lab, best_q, stall = lab, q, 0
-            else:
+            stats = obs.get
+            if stats["moved"] == 0 or stats["est_dq"] <= 1e-12:
                 stall += 1
-                if stall >= 3:  # neither direction improving -> done
+                if stall >= 2:  # both gate directions dry -> converged
                     break
+            else:
+                stall = 0
     finally:
-        ctx[0].unpersist()
-    return best_lab, best_q
+        sym.unpersist()
+    return lab, modularity(g_cur, lab, m=m)
 
 
 def graph_projection(

