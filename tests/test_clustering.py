@@ -160,6 +160,7 @@ def test_scc_two_cycles_and_singletons(spark):
     )
 
 
+@pytest.mark.slow
 def test_cc_high_diameter_chain(spark):
     """A 2000-node path has diameter 1999 — plain hash-min would blow
     max_rounds=200; pointer jumping must converge it in O(log V) rounds."""

@@ -1,6 +1,7 @@
 """Coloring, random-walk sampling, APSP, duplicate clusters, and the
 vectorized-callable utility surface."""
 
+import pytest
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -16,6 +17,7 @@ from tests.conftest import df_from_edges
 COLOR_EDGES = [(0, 1), (0, 3), (0, 5), (1, 2), (2, 4), (3, 5), (4, 5)]
 
 
+@pytest.mark.slow
 def test_greedy_coloring_reference_contract(spark):
     g = build(df_from_edges(spark, COLOR_EDGES, weighted=False), is_directed=False)
     colors_df, n_colors = greedy_coloring(g)
@@ -30,6 +32,7 @@ def test_greedy_coloring_reference_contract(spark):
     assert set(colors) == {0, 1, 2, 3, 4, 5}
 
 
+@pytest.mark.slow
 def test_greedy_coloring_deterministic(spark):
     g = build(df_from_edges(spark, COLOR_EDGES, weighted=False), is_directed=False)
     c1 = sorted(map(tuple, greedy_coloring(g)[0].collect()))
@@ -37,6 +40,7 @@ def test_greedy_coloring_deterministic(spark):
     assert c1 == c2
 
 
+@pytest.mark.slow
 def test_random_walk_sampling(spark):
     edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
@@ -64,6 +68,7 @@ def test_random_walk_sampling(spark):
                 assert b["src"] in (a["dst"], 0)  # continued or reset to start
 
 
+@pytest.mark.slow
 def test_apsp_subset_matches_networkx(spark):
     import networkx as nx
 

@@ -5,6 +5,7 @@ labeled, modularity > 0.45 on the golden graph. Modularity oracle: networkx
 (the reference's own backend family).
 """
 
+import pytest
 import math
 
 import networkx as nx
@@ -23,6 +24,7 @@ LOUVAIN_EDGES = [
 ]
 
 
+@pytest.mark.slow
 def test_louvain_step_golden(spark):
     g = build(df_from_edges(spark, LOUVAIN_EDGES), is_directed=False)
     labels, q = louvain_community(g)
@@ -59,6 +61,7 @@ def test_graph_projection(spark):
     assert got0 == {(10, 11): 1.0}
 
 
+@pytest.mark.slow
 def test_louvain_multilevel_golden(spark):
     """Multi-level Louvain must beat (or match) the single-sweep
     approximation and clear the reference's modularity contract."""
@@ -72,6 +75,7 @@ def test_louvain_multilevel_golden(spark):
     assert q_multi > 0.45
 
 
+@pytest.mark.slow
 def test_louvain_multilevel_vs_networkx_karate(spark):
     """Modularity on Zachary's karate club within 0.02 of python-louvain
     semantics (networkx louvain_communities is the same algorithm)."""
@@ -98,6 +102,7 @@ def test_louvain_multilevel_vs_networkx_karate(spark):
     assert abs(nx_q - q) < 1e-6, (nx_q, q)
 
 
+@pytest.mark.slow
 def test_louvain_multilevel_edgeless_graph(spark):
     from metagraph_spark.operators.community import louvain_community_multilevel
     from metagraph_spark.graph import Graph
@@ -125,6 +130,7 @@ def test_modularity_counts_input_self_loops(spark):
     assert abs(got - want) < 1e-9, (got, want)
 
 
+@pytest.mark.slow
 def test_sweep_metrics_add_no_jobs(spark):
     """A phase-1 Louvain sweep is ONE materialization action: the moved
     count + estimated-ΔQ metrics ride an `observe` on the move decision and

@@ -3,6 +3,8 @@ pagerank and the reference golden values exactly."""
 
 import math
 
+import pytest
+
 from metagraph_spark.graph import build
 from metagraph_spark.operators.kernel import build_edge_blocks, pagerank_kernel
 from metagraph_spark.operators.pagerank import pagerank
@@ -17,6 +19,7 @@ GOLDEN_EXPECTED = {
 }
 
 
+@pytest.mark.slow
 def test_kernel_pagerank_golden(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     got = {r["id"]: r["rank"] for r in
@@ -25,6 +28,7 @@ def test_kernel_pagerank_golden(spark):
         assert math.isclose(got[node], expected, rel_tol=1e-5), (node, got[node])
 
 
+@pytest.mark.slow
 def test_kernel_matches_join_based(spark):
     # dangling + undirected coverage
     edges = [(0, 1), (1, 2), (2, 0), (0, 4), (3, 5), (2, 3), (7, 7)]
@@ -38,6 +42,7 @@ def test_kernel_matches_join_based(spark):
         assert math.isclose(join_based[k], kernel[k], rel_tol=1e-9, abs_tol=1e-12)
 
 
+@pytest.mark.slow
 def test_pagerank_auto_strategy_threshold(spark):
     """strategy='auto' picks the kernel below the vertex threshold and the
     join path above it; both sides of the switch produce golden values."""
@@ -54,6 +59,7 @@ def test_pagerank_auto_strategy_threshold(spark):
         assert math.isclose(via_join[node], expected, rel_tol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_file_backed_distributed_golden(spark, tmp_path):
     """File-backed blocks take the fully distributed superstep loop (rank
     vector never on the driver) — must still produce the golden values and
@@ -76,6 +82,7 @@ def test_kernel_file_backed_distributed_golden(spark, tmp_path):
     mem.unpersist()
 
 
+@pytest.mark.slow
 def test_kernel_blocks_reuse(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     eb = build_edge_blocks(g, num_blocks=2)
@@ -106,6 +113,7 @@ def test_kernel_broadcast_fallback_decision(spark, monkeypatch):
     eb.unpersist()
 
 
+@pytest.mark.slow
 def test_kernel_injected_slice_store_parity(spark, tmp_path):
     """A slice store supplied by the caller drives the distributed loop and
     matches the broadcast path bit-for-bit at fixed iterations."""
@@ -127,6 +135,7 @@ def test_kernel_injected_slice_store_parity(spark, tmp_path):
     mem.unpersist()
 
 
+@pytest.mark.slow
 def test_slice_store_dir_reuse_no_stale_cache(spark, tmp_path):
     """Two runs pointing at the SAME slice-store directory must not serve
     each other's cached aux arrays through reused Python workers (the

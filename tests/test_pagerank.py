@@ -48,6 +48,7 @@ def numpy_pagerank(edges, n, damping=0.85, maxiter=100, tol=1e-7):
     raise RuntimeError("oracle did not converge")
 
 
+@pytest.mark.slow
 def test_pagerank_golden(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     result = pagerank(g, damping=0.85, maxiter=50, tolerance=1e-7)
@@ -57,12 +58,14 @@ def test_pagerank_golden(spark):
         assert math.isclose(got[node], expected, rel_tol=1e-5), (node, got[node])
 
 
+@pytest.mark.slow
 def test_pagerank_convergence_error(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     with pytest.raises(ConvergenceError):
         pagerank(g, damping=0.85, maxiter=2, tolerance=1e-12)
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_oracle(spark):
     # graph with dangling vertices (nodes 4, 5 have no out-edges)
     edges = [(0, 1), (1, 2), (2, 0), (0, 4), (3, 5), (2, 3)]
@@ -76,6 +79,7 @@ def test_pagerank_dangling_oracle(spark):
     assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_pagerank_undirected_symmetrization(spark):
     edges = [(0, 1), (1, 2), (2, 3)]
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
@@ -99,3 +103,28 @@ def test_kernel_strategy_rejects_checkpointer(spark, tmp_path):
     ck = CheckpointManager(root=str(tmp_path / "ck"), run_id="k1")
     with pytest.raises(ValueError, match="checkpointer"):
         pagerank(g, strategy="kernel", checkpointer=ck)
+
+
+def test_pagerank_fixed_iterations_fast(spark):
+    """Fast default-suite sanity (the converged goldens are `slow`): 4 fixed
+    supersteps on the reference golden digraph vs the numpy oracle unrolled
+    the same 4 steps."""
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False))
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(g, fixed_iterations=4).collect()
+    }
+    n = 4
+    out = np.zeros(n)
+    for s, d in GOLDEN_EDGES:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        new = np.full(n, 0.15 / n)
+        dangling = r[out == 0].sum()
+        new += 0.85 * dangling / n
+        for s, d in GOLDEN_EDGES:
+            new[d] += 0.85 * r[s] / out[s]
+        r = new
+    for i in range(n):
+        assert math.isclose(got[i], r[i], rel_tol=1e-9), (i, got[i], r[i])

@@ -3,6 +3,7 @@ the robustness layer on top of the golden fixtures. Example counts are kept
 small: every example executes real Spark jobs.
 """
 
+import pytest
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -47,6 +48,7 @@ def union_find(edges, nodes):
 
 @given(edges=edge_lists)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_cc_matches_union_find(spark, edges):
     nodes = sorted({n for e in edges for n in e})
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
@@ -58,6 +60,7 @@ def test_cc_matches_union_find(spark, edges):
 
 @given(edges=edge_lists)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_triangles_match_bruteforce(spark, edges):
     adj = {}
     for s, d in edges:
@@ -79,6 +82,7 @@ def test_triangles_match_bruteforce(spark, edges):
 
 @given(edges=edge_lists)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_pagerank_strategies_agree_and_sum_to_one(spark, edges):
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
     jb = {r["id"]: r["rank"] for r in

@@ -25,6 +25,7 @@ from tests.conftest import df_from_edges
 GOLDEN_EDGES = [(0, 1), (0, 2), (2, 0), (1, 2), (3, 2)]
 
 
+@pytest.mark.slow
 def test_pagerank_checkpoint_resume(spark, tmp_path):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     full = pagerank(g, maxiter=50, tolerance=1e-7)
@@ -54,6 +55,7 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_streaming_edge_maintenance(spark, tmp_path):
     # write transcripts as two file batches; stream them; final edge table
     # must equal the batch turn-adjacency result
