@@ -446,12 +446,211 @@ def closeness_centrality(
     )
 
 
+def _betweenness_scale(
+    out: DataFrame, nv: int, is_directed: bool, normalize: bool
+) -> DataFrame:
+    """Shared final scaling: nx divides undirected scores by 2 (each pair
+    counted from both endpoints); ``normalize`` rescales by the pair
+    count."""
+    if normalize and nv > 2:
+        scale = (
+            1.0 / ((nv - 1) * (nv - 2))
+            if is_directed
+            else 2.0 / ((nv - 1) * (nv - 2))
+        )
+        return out.select(
+            ID, (F.col("betweenness") * F.lit(scale)).alias("betweenness")
+        )
+    if not is_directed:
+        return out.select(
+            ID, (F.col("betweenness") / F.lit(2.0)).alias("betweenness")
+        )
+    return out
+
+
+def _betweenness_distributed(
+    graph: Graph,
+    nodes: Optional[DataFrame],
+    normalize: bool,
+    batch_size: int = 32,
+    max_sources: int = 4096,
+) -> DataFrame:
+    """Distributed UNWEIGHTED subset-Brandes (nx
+    ``betweenness_centrality_subset`` with sources == targets == ``nodes``,
+    reference ``plugins/networkx/algorithms.py:158-173``) with no broadcast
+    adjacency and no O(V) driver state — the scale path past the kernel's
+    ``max_edges`` guard.
+
+    Shape: sources are processed in batches of ``batch_size``. Per batch,
+    a multi-source BFS carries ``(root, id, dist, sigma)`` vertex state
+    (sigma = shortest-path counts, summed across same-depth discoveries);
+    the frontier size rides the materialization action via ``observe`` so
+    each BFS level is ONE job. Dependency accumulation then runs as
+    per-depth BACKWARD sweeps over the implicit BFS DAG: an edge u→w is a
+    DAG edge iff dist[u]+1 == dist[w], so no predecessor lists are ever
+    stored — each sweep joins the depth-d delta rows with reversed edges
+    and the depth-(d-1) state. Total jobs per batch ≈ 2·(BFS depth).
+
+    Driver-side state is scalars only; per-batch distributed state is
+    O(batch_size · reached) rows. Betweenness over ALL sources of a huge
+    graph is inherently all-pairs — ``max_sources`` refuses it loudly
+    (sample sources instead; that is the reference contract's use shape).
+    """
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.symmetrized()
+        .select(SRC, DST)
+        .distinct()
+        .repartition(n_part, SRC)
+        .persist()
+    )
+    # backward sweeps probe by DAG-edge HEAD (dst); keep a dst-partitioned
+    # mirror so both join directions are co-located with their shuffle key
+    redges = edges.select(
+        F.col(SRC).alias("_u"), F.col(DST).alias("_w")
+    ).repartition(n_part, "_w").persist()
+    node_ids = graph.node_ids()
+    sources = (
+        nodes.select(ID).distinct() if nodes is not None else node_ids
+    ).persist()
+    n_src = sources.count()
+    if n_src > max_sources:
+        sources.unpersist()
+        edges.unpersist()
+        redges.unpersist()
+        raise GraphPropertyError(
+            f"distributed betweenness over {n_src} sources would run "
+            f"{n_src} BFS passes; sample sources (<= max_sources="
+            f"{max_sources}) — exact all-sources betweenness at this scale "
+            f"is out of reach for any engine"
+        )
+    if nodes is not None:
+        n_valid = sources.join(node_ids, ID, "left_semi").count()
+        if n_valid != n_src:
+            missing = (
+                sources.join(node_ids, ID, "left_anti").limit(10).collect()
+            )
+            sources.unpersist()
+            edges.unpersist()
+            redges.unpersist()
+            raise GraphPropertyError(
+                f"betweenness sources not in graph: "
+                f"{[r[ID] for r in missing]}"
+            )
+    # targets == sources (subset semantics): membership flag joined once
+    targets = sources.select(ID, F.lit(True).alias("_t"))
+    n_batches = max(1, -(-n_src // batch_size))
+    acc: DataFrame | None = None
+    for b in range(n_batches):
+        batch = sources.filter(
+            F.pmod(F.xxhash64(F.col(ID)), F.lit(n_batches)) == b
+        )
+        settled = truncate_lineage(
+            batch.select(
+                F.col(ID).alias("root"),
+                F.col(ID),
+                F.lit(0).alias("dist"),
+                F.lit(1.0).alias("sigma"),
+            )
+        )
+        frontier = settled
+        maxd = 0
+        for d in range(1, graph.num_nodes() + 2):
+            cand = (
+                frontier.select("root", F.col(ID).alias(SRC), "sigma")
+                .join(edges, SRC)
+                .groupBy("root", F.col(DST).alias(ID))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            new_frontier = cand.join(
+                settled.select("root", ID), ["root", ID], "left_anti"
+            ).select("root", ID, F.lit(d).alias("dist"), "sigma")
+            obs = Observation(f"bc_bfs_{b}_{d}")
+            new_frontier = truncate_lineage(
+                new_frontier.observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            if obs.get["n"] == 0:
+                break
+            maxd = d
+            settled = truncate_lineage(settled.unionAll(new_frontier))
+            frontier = new_frontier
+        # backward per-depth dependency sweeps
+        st = settled.join(targets, ID, "left")
+        delta_d: DataFrame | None = None  # (root, id, delta) at depth d
+        batch_deltas: list[DataFrame] = []
+        for d in range(maxd, 0, -1):
+            rows_d = st.filter(F.col("dist") == d)
+            if delta_d is not None:
+                rows_d = rows_d.join(delta_d, ["root", ID], "left")
+            else:
+                rows_d = rows_d.withColumn("delta", F.lit(0.0))
+            rows_d = rows_d.select(
+                "root",
+                ID,
+                "sigma",
+                (
+                    F.coalesce("delta", F.lit(0.0))
+                    + F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0))
+                ).alias("coeff"),
+            )
+            contrib = (
+                rows_d.join(redges, rows_d[ID] == redges["_w"])
+                .select(
+                    "root",
+                    F.col("_u").alias(ID),
+                    (F.col("coeff") / F.col("sigma")).alias("_cw"),
+                )
+                .join(
+                    st.filter(F.col("dist") == d - 1).select(
+                        "root", ID, F.col("sigma").alias("_su")
+                    ),
+                    ["root", ID],
+                )
+                .groupBy("root", ID)
+                .agg(F.sum(F.col("_cw") * F.col("_su")).alias("delta"))
+            )
+            delta_d = truncate_lineage(contrib)
+            batch_deltas.append(delta_d)
+        if batch_deltas:
+            from functools import reduce
+
+            batch_scores = (
+                reduce(DataFrame.unionAll, batch_deltas)
+                .filter(F.col(ID) != F.col("root"))
+                .groupBy(ID)
+                .agg(F.sum("delta").alias("betweenness"))
+            )
+            acc = (
+                batch_scores
+                if acc is None
+                else truncate_lineage(
+                    acc.unionAll(batch_scores)
+                    .groupBy(ID)
+                    .agg(F.sum("betweenness").alias("betweenness"))
+                )
+            )
+    nv = graph.num_nodes()
+    base = node_ids.join(acc, ID, "left") if acc is not None else (
+        node_ids.withColumn("betweenness", F.lit(0.0))
+    )
+    out = base.select(
+        ID, F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+    out = truncate_lineage(_betweenness_scale(out, nv, graph.is_directed, normalize))
+    sources.unpersist()
+    edges.unpersist()
+    redges.unpersist()
+    return out
+
+
 def betweenness_centrality(
     graph: Graph,
     nodes: Optional[DataFrame] = None,
     normalize: bool = False,
     sources_per_batch: int = 16,
     max_edges: int = BETWEENNESS_MAX_EDGES,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Brandes betweenness, parallelized over sources.
 
@@ -464,21 +663,35 @@ def betweenness_centrality(
     ``betweenness_centrality_subset`` with sources == targets == nodes
     (``plugins/networkx/algorithms.py:158-173``).
 
-    Exact betweenness is inherently all-pairs; the broadcast adjacency must
-    fit per-task, so graphs beyond ``max_edges`` symmetrized edges are
-    refused with a clear error instead of OOMing the driver."""
+    ``strategy``: ``"kernel"`` is the broadcast-CSR path above (weighted,
+    refuses graphs beyond ``max_edges``); ``"distributed"`` is
+    ``_betweenness_distributed`` (unweighted only, no broadcast, no driver
+    O(V)); ``"auto"`` picks kernel below the guard and falls through to
+    distributed above it when the graph is unweighted."""
     import numpy as np
     import pandas as pd
 
+    if strategy not in ("auto", "kernel", "distributed"):
+        raise ValueError(f"unknown betweenness strategy {strategy!r}")
+    if strategy == "distributed":
+        if graph.is_weighted:
+            raise GraphPropertyError(
+                "distributed betweenness is BFS-based (unweighted); "
+                "weighted graphs need the kernel strategy"
+            )
+        return _betweenness_distributed(graph, nodes, normalize)
     spark = graph.edges.sparkSession
     wedges = _weighted_edges(graph)
     m = wedges.count()
     if m > max_edges:
+        if strategy == "auto" and not graph.is_weighted:
+            return _betweenness_distributed(graph, nodes, normalize)
         raise GraphPropertyError(
             f"betweenness needs the adjacency broadcast per task; graph has "
             f"{m} (symmetrized) edges > max_edges={max_edges}. Exact "
-            f"betweenness is all-pairs — sample sources/nodes or use an "
-            f"approximation at this scale."
+            f"betweenness is all-pairs — sample sources at this scale "
+            f"(unweighted graphs take the distributed BFS strategy "
+            f"automatically)."
         )
     # single Arrow pass each: columnar to numpy, no Python Row objects
     nodes_tbl = graph.node_ids().toArrow()
@@ -566,13 +779,4 @@ def betweenness_centrality(
         brandes_batch, schema="id long, partial double"
     )
     out = partials.groupBy(ID).agg(F.sum("partial").alias("betweenness"))
-    if normalize:
-        scale = (
-            1.0 / ((nv - 1) * (nv - 2))
-            if graph.is_directed
-            else 2.0 / ((nv - 1) * (nv - 2))
-        )
-        out = out.select(ID, (F.col("betweenness") * F.lit(scale)).alias("betweenness"))
-    elif not graph.is_directed:
-        out = out.select(ID, (F.col("betweenness") / F.lit(2.0)).alias("betweenness"))
-    return out
+    return _betweenness_scale(out, nv, graph.is_directed, normalize)

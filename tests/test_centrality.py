@@ -38,6 +38,7 @@ def assert_close_map(got, expected, rel_tol=1e-5, abs_tol=0.0):
         )
 
 
+@pytest.mark.slow
 def test_katz_golden(spark):
     # reference test_centrality.py:106-144
     edges = [
@@ -53,6 +54,7 @@ def test_katz_golden(spark):
     assert_close_map(got, expected, rel_tol=1e-5)
 
 
+@pytest.mark.slow
 def test_eigenvector_golden(spark):
     # reference test_centrality.py:212-227 (undirected standard graph)
     expected = {
@@ -65,6 +67,7 @@ def test_eigenvector_golden(spark):
     assert_close_map(got, expected, rel_tol=1e-3)
 
 
+@pytest.mark.slow
 def test_hits_golden(spark):
     # reference test_centrality.py:230-255 (directed standard graph)
     hubs_exp = {
@@ -210,3 +213,56 @@ def test_betweenness_dedups_duplicate_sources(spark):
     b = {r["id"]: r["betweenness"]
          for r in betweenness_centrality(g, nodes=dup).collect()}
     assert a == b
+
+
+@pytest.mark.slow
+def test_betweenness_distributed_matches_kernel_and_nx(spark):
+    """The distributed BFS strategy (scale path past the broadcast-CSR
+    guard) must agree with the kernel strategy AND networkx subset-Brandes
+    on an unweighted graph. `max_edges=1` forces auto past the guard, so
+    this also exercises the auto fall-through."""
+    import networkx as nx
+
+    rng = __import__("random").Random(7)
+    n = 40
+    nxg = nx.gnp_random_graph(n, 0.12, seed=7)
+    edges = [(u, v) for u, v in nxg.edges()]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    srcs = sorted(rng.sample(range(n), 12))
+    src_df = spark.createDataFrame([(s,) for s in srcs], "id long")
+    want_nx = nx.betweenness_centrality_subset(
+        nxg, sources=srcs, targets=srcs, normalized=False
+    )
+    kern = to_map(
+        betweenness_centrality(g, nodes=src_df, strategy="kernel"),
+        "betweenness",
+    )
+    dist = to_map(
+        betweenness_centrality(g, nodes=src_df, max_edges=1, strategy="auto"),
+        "betweenness",
+    )
+    for v in range(n):
+        assert math.isclose(
+            dist.get(v, 0.0), kern.get(v, 0.0), rel_tol=1e-9, abs_tol=1e-9
+        ), (v, dist.get(v), kern.get(v))
+        assert math.isclose(
+            dist.get(v, 0.0), want_nx.get(v, 0.0), rel_tol=1e-9, abs_tol=1e-9
+        ), (v, dist.get(v), want_nx.get(v))
+
+
+def test_betweenness_distributed_guards(spark):
+    """Weighted graphs must refuse the BFS strategy; oversized source sets
+    must refuse the per-source loop."""
+    from metagraph_spark.exceptions import GraphPropertyError
+
+    g_w = build(df_from_edges(spark, STD_EDGES), is_directed=True)
+    with pytest.raises(GraphPropertyError):
+        betweenness_centrality(g_w, strategy="distributed")
+    g_u = build(
+        df_from_edges(spark, [(0, 1), (1, 2)], weighted=False),
+        is_directed=False,
+    )
+    from metagraph_spark.operators.centrality import _betweenness_distributed
+
+    with pytest.raises(GraphPropertyError):
+        _betweenness_distributed(g_u, None, False, max_sources=2)
