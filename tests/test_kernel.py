@@ -172,3 +172,65 @@ def test_slice_store_rejected_for_in_memory_blocks(spark, tmp_path):
         pagerank_kernel(eb, fixed_iterations=2,
                         slice_store=LocalSliceStore(str(tmp_path / "s")))
     eb.unpersist()
+
+
+def test_scale_layout_no_driver_arrays(spark, tmp_path):
+    """The file-backed layout must keep driver state O(num_blocks): no
+    sorted-id or degree array is ever collected (VERDICT r3 #5). The lazy
+    ``_node_ids``/``_out_deg`` slots must stay None through layout AND a
+    full pagerank run; the id/degree/inverse-degree vectors live as files
+    written slice-wise by tasks, and the layout metadata carries the
+    dangling count so the superstep loop needs no degree scan."""
+    import json
+    import os
+
+    import numpy as np
+
+    # golden graph + an isolated node (exercises the no-edges degree range)
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    sd = str(tmp_path / "scale_blocks")
+    eb = build_edge_blocks(g, num_blocks=2, spill_dir=sd)
+    assert eb._node_ids is None and eb._out_deg is None
+    assert eb.n == 4 and eb.n_dangling == 0  # every golden node has out-edges
+    got = {r["id"]: r["rank"] for r in
+           pagerank_kernel(eb, damping=0.85, maxiter=50, tolerance=1e-7).collect()}
+    # the whole run must not have materialized driver arrays either
+    assert eb._node_ids is None and eb._out_deg is None
+    for node, expected in GOLDEN_EXPECTED.items():
+        assert math.isclose(got[node], expected, rel_tol=1e-5), (node, got[node])
+    # files + metadata written by tasks
+    ids = np.load(os.path.join(sd, "node_ids.npy"))
+    assert list(ids) == [0, 1, 2, 3]
+    deg = np.load(os.path.join(sd, "out_deg.npy"))
+    assert list(deg) == [2.0, 1.0, 1.0, 1.0]
+    inv = np.load(os.path.join(sd, "inv_deg.npy"))
+    assert list(inv) == [0.5, 1.0, 1.0, 1.0]
+    with open(os.path.join(sd, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n"] == 4 and meta["n_dangling"] == 0
+    eb.unpersist()
+
+
+def test_scale_layout_dangling_and_isolates(spark, tmp_path):
+    """Dangling vertices (no out-edges) and ranges with no sources must
+    land as zero degree / zero inverse in the task-written files, and the
+    metadata dangling count must drive the same teleport mass as the
+    in-memory path."""
+    edges = [(0, 1), (1, 2), (3, 2)]  # 2 is dangling; node 4 isolated
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    from metagraph_spark.graph import build as gbuild
+
+    g = gbuild(df_from_edges(spark, edges, weighted=False), nodes=nodes)
+    sd = str(tmp_path / "blocks2")
+    eb = build_edge_blocks(g, num_blocks=3, spill_dir=sd)
+    assert eb.n == 5 and eb.n_dangling == 2  # nodes 2 and 4
+    a = {r["id"]: r["rank"] for r in
+         pagerank_kernel(eb, fixed_iterations=6).collect()}
+    mem = build_edge_blocks(g, num_blocks=3)
+    b = {r["id"]: r["rank"] for r in
+         pagerank_kernel(mem, fixed_iterations=6).collect()}
+    assert set(a) == set(b) == set(range(5))
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), (k, a[k], b[k])
+    eb.unpersist()
+    mem.unpersist()
