@@ -1132,17 +1132,48 @@ WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
 def _ivf_topk_sql(
-    num_cells: int, nprobe: int, seed: int, k: int, max_qid: int
+    num_cells: int, nprobe: int, seed: int, k: int, max_qid: int,
+    lloyd_iters: int = 2,
 ) -> str:
     """Exact replica of ``functions.similarity.ivf_topk``: seeded-sample
-    centroids via the shared cross-engine mix31 hash, argmax-cosine cell
-    assignment, nprobe probing, exact rerank — all tie-breaks to the
-    smaller cell/neighbor id, matching the Spark plan."""
+    centroid init via the shared cross-engine mix31 hash, ``lloyd_iters``
+    unrolled spherical-k-means refinements (argmax-cosine assignment →
+    per-dimension mean of the UNIT member vectors, zero-norm cells
+    dropped; cosine is scale-invariant so the oracle skips the engine's
+    renormalization), final assignment, nprobe probing, exact rerank —
+    all tie-breaks to the smaller cell/neighbor id, matching the Spark
+    plan."""
     h = _mix31_sql("vec_id", seed)
-    return f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_qid}),
-cents AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
-          ORDER BY ({h}), vec_id LIMIT {num_cells}),
+    ctes = [
+        f"q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_qid})",
+        "nrm AS (SELECT vec_id, list_transform(embedding, x -> x /"
+        " sqrt(list_sum(list_transform(embedding, y -> y*y)))) AS un"
+        " FROM embeddings)",
+        f"""cents_0 AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+          ORDER BY ({h}), vec_id LIMIT {num_cells})""",
+    ]
+    for i in range(1, lloyd_iters + 1):
+        ctes.append(
+            f"""lasg_{i} AS (SELECT vec_id AS nid, cell FROM (
+          SELECT n.vec_id, c.cell,
+                 row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_cosine_similarity(n.un, c.cv) DESC,
+                            c.cell) AS rn
+          FROM nrm n CROSS JOIN cents_{i - 1} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""cents_{i} AS (SELECT cell, cv FROM (
+          SELECT cell, list(m ORDER BY d) AS cv FROM (
+            SELECT a.cell, u.d AS d, avg(n.un[u.d]) AS m
+            FROM lasg_{i} a JOIN nrm n ON a.nid = n.vec_id,
+                 UNNEST([{{'d': j}} FOR j IN range(1, len(n.un) + 1)]) AS s(u)
+            GROUP BY a.cell, u.d) GROUP BY cell)
+          WHERE list_sum(list_transform(cv, x -> x*x)) > 0)"""
+        )
+    final = f"cents_{lloyd_iters}"
+    head = "WITH " + ",\n".join(ctes) + ",\n"
+    return head + f"""cents AS (SELECT cell, cv FROM {final}),
 asg AS (SELECT vec_id AS neighbor_id, cell FROM (
           SELECT e.vec_id, c.cell,
                  row_number() OVER (

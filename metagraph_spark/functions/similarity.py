@@ -150,16 +150,21 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    lloyd_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF-style approximate top-k — the inverted-file scale path next to
     :func:`lsh_topk`:
 
-    1. CENTROIDS: the ``num_cells`` corpus vectors with the smallest
-       ``mix31(id, seed)`` (deterministic seeded sample, cross-engine
-       replayable — the same hash the sampling oracles replay); cell id =
-       the centroid's own vector id. Tiny table, broadcast below.
+    1. CENTROIDS: seeded init = the ``num_cells`` corpus vectors with the
+       smallest ``mix31(id, seed)`` (deterministic, cross-engine
+       replayable), then ``lloyd_iters`` deterministic Lloyd iterations:
+       assign every corpus vector to its max-cosine centroid, replace each
+       centroid by the unit-normalized MEAN of its members (spherical
+       k-means update) — balances cells before the rerank join. All steps
+       are JVM column expressions; the per-dim means are a posexplode +
+       map-side-combinable avg whose shuffle is only num_cells × dim rows.
     2. ASSIGN (coarse quantization): each corpus vector keeps its
        max-cosine centroid — one broadcast join (JVM ``zip_with`` dot, no
        Python) + one groupBy argmax.
@@ -168,10 +173,10 @@ def ivf_topk(
        cell id), exact cosine, windowed top-k; ties to smaller neighbor.
 
     At scale the corpus assignment is one pass over the corpus against a
-    broadcast centroid table, and the rerank join is cell-partitioned —
-    recall is bounded by nprobe/num_cells, cost by cell sizes (the
-    standard IVF trade). Returns ``(query_id, neighbor_id, cosine,
-    rank)``."""
+    broadcast centroid table per Lloyd iteration, and the rerank join is
+    cell-partitioned — recall is bounded by nprobe/num_cells, cost by cell
+    sizes (the standard IVF trade). Returns ``(query_id, neighbor_id,
+    cosine, rank)``."""
     from metagraph_spark.operators.subgraph import mix31
 
     # no persist: the normalized projection is a cheap map over the scan,
@@ -193,21 +198,67 @@ def ivf_topk(
         .limit(num_cells)
         .drop("_h")
     )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "_cu",
-            "cell",
-            _dot(F.col("_cu"), F.col("_cv")).alias("_cos"),
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            c.crossJoin(F.broadcast(cent_df))
+            .select(
+                "neighbor_id",
+                "_cu",
+                "cell",
+                _dot(F.col("_cu"), F.col("_cv")).alias("_cos"),
+            )
+            .groupBy("neighbor_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))
+                ).alias("b"),
+                F.first("_cu").alias("_cu"),
+            )
+            .select("neighbor_id", (-F.col("b.nc")).alias("cell"), "_cu")
         )
-        .groupBy("neighbor_id")
-        .agg(
-            F.max(F.struct(F.col("_cos"), (-F.col("cell")).alias("nc"))).alias("b"),
-            F.first("_cu").alias("_cu"),
+
+    for _ in range(lloyd_iters):
+        members = _assign(cents)
+        means = (
+            members.select("cell", F.posexplode("_cu").alias("_pos", "_v"))
+            .groupBy("cell", "_pos")
+            .agg(F.avg("_v").alias("_m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_mv")
+            )
         )
-        .select("neighbor_id", (-F.col("b.nc")).alias("cell"), "_cu")
-    )
+        # unit-normalize the mean so the broadcast dot stays a cosine;
+        # degenerate (zero-norm) cells are dropped — their members re-home
+        # on the next assignment
+        cents = (
+            means.select(
+                "cell",
+                F.sqrt(
+                    F.aggregate(
+                        "_mv", F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ).alias("_nrm"),
+                "_mv",
+            )
+            .filter(F.col("_nrm") > 0.0)
+            .select(
+                "cell",
+                F.transform("_mv", lambda x: x / F.col("_nrm")).alias("_cv"),
+            )
+        )
+        # pin the (≤ num_cells)-row centroid table: every downstream
+        # consumer (next iteration, final assign, probes) would otherwise
+        # replay the whole Lloyd lineage — and each replay re-aggregates
+        # floats, so consumers could even see slightly different centroids
+        cents = corpus.sparkSession.createDataFrame(
+            cents.collect(), "cell long, _cv array<double>"
+        )
+    assigned = _assign(cents)
     probes = (
         q.crossJoin(F.broadcast(cents))
         .select(

@@ -48,8 +48,13 @@ from metagraph_spark.state import CheckpointManager, LineageManager, truncate_li
 _STATE_COLS = ("id", "outdeg", "dangling", "rank", "prev")
 
 
-# above this vertex count the kernel's dense driver-side rank vector (8 B×V
-# plus working copies) stops being reasonable; the join path has no such cap
+# above this vertex count the IN-MEMORY kernel's dense driver-side rank
+# vector (8 B×V plus working copies) stops being reasonable; the join path
+# has no such cap, and neither does the FILE-BACKED kernel
+# (``kernel_spill_dir``), whose layout/loop/result all stay distributed
+# (driver O(num_blocks); measured at 10^8 vertices / 2·10^8 edges:
+# driver max-RSS 0.14 GB, rank mass 1.0 — see BENCH/BASELINE.md). The
+# file-backed route's hard cap is int32 positions (V < 2^31).
 KERNEL_MAX_VERTICES = 50_000_000
 
 
@@ -63,6 +68,7 @@ def pagerank(
     metrics_sink: list | None = None,
     strategy: str = "join",
     kernel_max_vertices: int = KERNEL_MAX_VERTICES,
+    kernel_spill_dir: str | None = None,
 ) -> DataFrame:
     """Return NodeMap DataFrame ``(id: long, rank: double)``.
 
@@ -76,11 +82,15 @@ def pagerank(
     (optional list) receives one dict per superstep.
 
     ``strategy``: ``"join"`` (default — scales to any V), ``"kernel"``
-    (CSR/Arrow zero-shuffle supersteps, dense driver rank vector, capped at
-    ``kernel_max_vertices``), or ``"auto"`` — kernel when the vertex count
-    fits and no checkpointer is requested (the kernel keeps no durable
-    per-superstep state), join otherwise. Both strategies implement the
-    identical update rule and are asserted equal by shared golden tests."""
+    (CSR/Arrow zero-shuffle supersteps; dense driver rank vector capped at
+    ``kernel_max_vertices`` UNLESS ``kernel_spill_dir`` is given, which
+    switches to the file-backed layout whose vectors live on the shared
+    filesystem and never touch the driver — V capped only by int32
+    positions), or ``"auto"`` — kernel when the vertex count fits (or a
+    spill dir is given) and no checkpointer is requested (the kernel keeps
+    no durable per-superstep state), join otherwise. Both strategies
+    implement the identical update rule and are asserted equal by shared
+    golden tests."""
     if strategy not in ("join", "kernel", "auto"):
         raise ValueError(f"unknown pagerank strategy {strategy!r}")
     if strategy == "kernel" and checkpointer is not None:
@@ -93,19 +103,34 @@ def pagerank(
         )
     if strategy != "join":
         use_kernel = strategy == "kernel" or (
-            checkpointer is None and graph.num_nodes() <= kernel_max_vertices
+            checkpointer is None
+            and (
+                kernel_spill_dir is not None
+                or graph.num_nodes() <= kernel_max_vertices
+            )
         )
         if use_kernel:
-            from metagraph_spark.operators.kernel import pagerank_kernel
-
-            return pagerank_kernel(
-                graph,
-                damping=damping,
-                maxiter=maxiter,
-                tolerance=tolerance,
-                fixed_iterations=fixed_iterations,
-                metrics_sink=metrics_sink,
+            from metagraph_spark.operators.kernel import (
+                build_edge_blocks,
+                pagerank_kernel,
             )
+
+            target, built = graph, None
+            if kernel_spill_dir is not None:
+                built = build_edge_blocks(graph, spill_dir=kernel_spill_dir)
+                target = built
+            try:
+                return pagerank_kernel(
+                    target,
+                    damping=damping,
+                    maxiter=maxiter,
+                    tolerance=tolerance,
+                    fixed_iterations=fixed_iterations,
+                    metrics_sink=metrics_sink,
+                )
+            finally:
+                if built is not None:
+                    built.unpersist()  # manifest cache; files stay reusable
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if graph.is_directed and graph.metadata.get("partitioned_by_src") == n_part:

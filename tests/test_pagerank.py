@@ -128,3 +128,20 @@ def test_pagerank_fixed_iterations_fast(spark):
         r = new
     for i in range(n):
         assert math.isclose(got[i], r[i], rel_tol=1e-9), (i, got[i], r[i])
+
+
+def test_pagerank_kernel_spill_dir_route(spark, tmp_path):
+    """`kernel_spill_dir` routes auto/kernel through the file-backed layout
+    (no driver-vector cap) and must match the join path exactly."""
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False))
+    a = {r["id"]: r["rank"] for r in pagerank(
+        g, fixed_iterations=5, strategy="kernel",
+        kernel_spill_dir=str(tmp_path / "kb")).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank(g, fixed_iterations=5).collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
+    # auto + spill dir must take the kernel even past a tiny vertex cap
+    c = {r["id"]: r["rank"] for r in pagerank(
+        g, fixed_iterations=5, strategy="auto", kernel_max_vertices=1,
+        kernel_spill_dir=str(tmp_path / "kb2")).collect()}
+    assert c == a
