@@ -167,24 +167,60 @@ def _fake_decode(payload: bytes, size: int) -> np.ndarray:
     return (raw.astype(np.float32) / 255.0)
 
 
+def pil_available() -> bool:
+    """Probe for a real image codec (Pillow). False in this container; a
+    future container that ships it flips :func:`extract_features`'s
+    ``fake=False`` path from NotImplementedError to a real decode with no
+    code change."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes, size: int) -> np.ndarray:
+    """Real image feature: decode, grayscale, resize to ``size``×1 with the
+    deterministic nearest-neighbor filter, pixels/255."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    small = img.resize((size, 1), resample=Image.NEAREST)
+    return np.asarray(small, dtype=np.float32).reshape(-1) / 255.0
+
+
 def extract_features(
     media: DataFrame, feature_dim: int = 32, fake: bool = False
 ) -> DataFrame:
     """media → ``(media_id, feature: array<float>)`` via mapInPandas.
 
-    Real decoders (PIL/ffmpeg/torchaudio) are unavailable in this
-    container; pass ``fake=True`` for the deterministic stand-in."""
+    ``fake=True``: deterministic stand-in (cross-engine replayable — the
+    oracle path). ``fake=False``: real decode through Pillow when the
+    container ships it (``pil_available()``), NotImplementedError
+    otherwise. The probe runs INSIDE the worker kernel — the driver and the
+    workers may not share an environment."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
+            if fake:
+                feats = [
+                    _fake_decode(p, feature_dim).tolist()
+                    for p in pdf["payload"]
+                ]
+            elif pil_available():
+                feats = [
+                    _pil_decode(p, feature_dim).tolist()
+                    for p in pdf["payload"]
+                ]
+            else:
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this "
-                    "container; pass fake=True to exercise the pipeline"
+                    "real media decode requires Pillow (pil_available() is "
+                    "False in this container); pass fake=True to exercise "
+                    "the pipeline"
                 )
-            feats = [
-                _fake_decode(p, feature_dim).tolist() for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": feats}
             )

@@ -124,6 +124,101 @@ def _min_label_fixpoint(
     )
 
 
+def _two_phase_cc(
+    spark, edges: DataFrame, nodes: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"): the edge set
+    itself is rewritten each round and SHRINKS toward a forest of stars
+    centered at each component's minimum id — provably O(log V) rounds,
+    and per-round volume decays with the edge set (hash-min re-joins the
+    FULL |E| every round). Used for the converged path; the fixed-round
+    oracle contract and checkpointed runs keep the hash-min loop.
+
+    large-star(u): every neighbor v > u re-hooks to m = min(Γ(u) ∪ {u});
+    small-star(u): every smaller neighbor re-hooks to the minimum one.
+    Convergence: both phases observe their rewritten-edge count on the SAME
+    materialization action (an edge is rewritten when its new endpoint
+    differs from the old one); a round where neither phase rewrote
+    anything means the set is already a stable star forest — no extra
+    confirmation round. Final labels: star leaves take their center,
+    centers and isolates themselves."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    E = (
+        edges.filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.greatest(SRC, DST).alias("u"), F.least(SRC, DST).alias("v")
+        )
+        .distinct()
+    )
+    E = truncate_lineage(E.repartition(n_part, "u"))
+    if not E.take(1):
+        # edgeless after self-loop removal: every node is its own star.
+        # Must exit BEFORE the loop — AQE's empty-relation propagation
+        # would prune the observe nodes out of an all-empty round and
+        # Observation.get dies on the metric-less query.
+        return truncate_lineage(
+            nodes.select(ID, F.col(ID).alias("label"))
+        )
+    for rnd in range(max_rounds):
+        # LARGE-STAR: m over ALL neighbors (both directions)
+        sym = E.unionAll(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("_mv", "u").alias("m")
+        )
+        obs_ls = Observation(f"cc2p_ls_{rnd}")
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.col("m").alias("v"),
+                (F.col("m") != F.col("u")).alias("_ch"),
+            )
+            .observe(
+                obs_ls, F.count(F.when(F.col("_ch"), 1)).alias("changed")
+            )
+            .select("u", "v")
+            .distinct()
+        )
+        # SMALL-STAR on the canonical (u > v) set: re-hook smaller
+        # neighbors to the minimum one, keep (u, min)
+        mn = ls.groupBy("u").agg(F.min("v").alias("m"))
+        obs_ss = Observation(f"cc2p_ss_{rnd}")
+        ss = (
+            ls.join(mn, "u")
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+                (F.col("v") != F.col("m")).alias("_ch"),
+            )
+            .observe(
+                obs_ss, F.count(F.when(F.col("_ch"), 1)).alias("changed")
+            )
+            .select("u", "v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        E = truncate_lineage(ss.repartition(n_part, "u"))
+        if obs_ls.get["changed"] == 0 and obs_ss.get["changed"] == 0:
+            star_min = E.groupBy(F.col("u").alias(ID)).agg(
+                F.min("v").alias("_c")
+            )
+            return truncate_lineage(
+                nodes.join(star_min, ID, "left").select(
+                    ID, F.coalesce("_c", F.col(ID)).alias("label")
+                )
+            )
+    raise ConvergenceError(
+        f"two-phase connected_components did not stabilize in "
+        f"{max_rounds} rounds"
+    )
+
+
 def connected_components(
     graph: Graph,
     max_rounds: int = 200,
@@ -133,8 +228,21 @@ def connected_components(
     """Return NodeMap ``(id: long, label: long)``; label = min node id in the
     component. Directed input is treated as its undirected underlying graph
     (matches nx ``connected_components`` requiring undirected,
-    ``plugins/networkx/algorithms.py:61-67``)."""
+    ``plugins/networkx/algorithms.py:61-67``).
+
+    Physical strategy: the converged path runs alternating large-star /
+    small-star rounds (:func:`_two_phase_cc` — O(log V) rounds on a
+    SHRINKING edge set). ``fixed_rounds`` (the unrolled-SQL oracle
+    contract) and checkpointed runs keep the hash-min label exchange,
+    whose per-round vertex state is what the resume protocol snapshots."""
     spark = graph.edges.sparkSession
+    if fixed_rounds is None and checkpointer is None:
+        return _two_phase_cc(
+            spark,
+            graph.edges.select(SRC, DST),
+            graph.node_ids(),
+            max_rounds,
+        )
     # always symmetrize: CC is over the undirected underlying graph; persist
     # once — every round reuses the edge table
     e = graph.edges.select(SRC, DST)

@@ -347,3 +347,50 @@ def test_ivf_lloyd_refinement_improves_recall(spark, emb_df):
     r0, r2 = recall(0), recall(2)
     assert r2 > r0, (r0, r2)
     assert r2 >= 0.5, r2
+
+
+def test_media_decode_probe(spark):
+    """fake=False must decode through Pillow when the container ships it
+    (skip-marked here) and raise NotImplementedError when it does not —
+    never silently fall back to the fake."""
+    from metagraph_spark.functions.multimodal import pil_available
+
+    media = synthesize_media(spark, 4)
+    if not pil_available():
+        with pytest.raises(Exception) as ei:
+            extract_features(media, feature_dim=8, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+    else:  # future container with Pillow: synthetic payloads are not valid
+        # images, so a real decode error (not NotImplementedError) is the
+        # correct outcome; real-image decoding is covered below
+        with pytest.raises(Exception) as ei:
+            extract_features(media, feature_dim=8, fake=False).collect()
+        assert "NotImplementedError" not in str(ei.value)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "metagraph_spark.functions.multimodal", fromlist=["pil_available"]
+    ).pil_available(),
+    reason="Pillow not in this container (probe is the product behavior)",
+)
+def test_media_decode_real_pillow(spark):
+    """Runs only when Pillow exists: a real 2x2 PNG decodes to the expected
+    normalized grayscale feature."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (2, 2), color=128).save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", payload, (2, 2, 0, 1))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    rows = extract_features(media, feature_dim=4, fake=False).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == 4
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in rows[0]["feature"])
