@@ -113,6 +113,102 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
         return ck
 
 
+def truncate_lineage_partitioned(
+    df: DataFrame, cols: list[str], n_part: int
+) -> DataFrame:
+    """:func:`truncate_lineage` that PRESERVES hash-partitioning metadata.
+
+    ``localCheckpoint`` under AQE always reports ``UnknownPartitioning`` on
+    its ``LogicalRDD`` (the adaptive plan hides the final stage's
+    partitioning at checkpoint time), so every superstep loop that
+    re-joins its vertex state against col-partitioned edges pays a
+    planner-inserted |V|-row Exchange per superstep even though the
+    checkpointed RDD is ALREADY physically hash-partitioned. This variant:
+
+    1. eagerly localCheckpoints ``df``;
+    2. inspects the executed adaptive plan's FINAL stage partitioning; if
+       it is exactly ``HashPartitioning(cols, n_part)`` (matched by output
+       position — exprIds differ across plans), STAMPS that partitioning
+       onto a rebuilt ``LogicalRDD`` leaf (stats and constraints reset, as
+       in :func:`truncate_lineage`);
+    3. otherwise re-shuffles once (``repartition(n_part, cols)`` — a
+       user-numbered exchange AQE never coalesces, so the claim is
+       physically true by construction), re-checkpoints, and stamps.
+
+    The stamped claim is only ever attached to an RDD whose layout was
+    either observed (2) or forced (3) to match. Falls back to the plain
+    stats-reset checkpoint on internal-API drift / Spark Connect."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = df.sparkSession
+        jvm = spark._jvm
+
+        def col_positions_of(partitioning, output) -> list | None:
+            if partitioning.getClass().getSimpleName() != "HashPartitioning":
+                return None
+            if partitioning.numPartitions() != n_part:
+                return None
+            exprs = partitioning.expressions()
+            pos = []
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                if e.getClass().getSimpleName() != "AttributeReference":
+                    return None
+                j = next(
+                    (
+                        k
+                        for k in range(output.size())
+                        if output.apply(k).exprId().equals(e.exprId())
+                    ),
+                    None,
+                )
+                if j is None:
+                    return None
+                pos.append(j)
+            return pos
+
+        want = [df.columns.index(c) for c in cols]
+        try:
+            final = df._jdf.queryExecution().executedPlan().finalPhysicalPlan()
+            matched = (
+                col_positions_of(final.outputPartitioning(), final.output())
+                == want
+            )
+        except Exception:  # non-adaptive plan: no finalPhysicalPlan
+            matched = False
+        if not matched:
+            ck = ck.repartition(n_part, *cols).localCheckpoint(eager=True)
+        plan = ck._jdf.queryExecution().analyzed()
+        if plan.getClass().getName() != (
+            "org.apache.spark.sql.execution.LogicalRDD"
+        ):
+            return truncate_lineage(ck)
+        out = plan.output()
+        attrs = {out.apply(i).name(): out.apply(i) for i in range(out.size())}
+        hp = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+            jvm.PythonUtils.toSeq([attrs[c] for c in cols]), n_part
+        )
+        none = jvm.scala.Option.empty()
+        oc = plan.otherCopyArgs()
+        new_plan = plan.copy(
+            plan.productElement(0),
+            plan.productElement(1),
+            hp,
+            plan.productElement(3),
+            plan.productElement(4),
+            plan.productElement(5),
+            oc.apply(0),
+            none,
+            none,
+        )
+        jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_plan
+        )
+        return DataFrame(jds, spark)
+    except Exception:  # Connect or internal-API drift: checkpoint is valid
+        return truncate_lineage(ck)
+
+
 class LineageManager:
     """Per-iteration state materializer for superstep loops.
 
@@ -138,15 +234,25 @@ class LineageManager:
     ``finalize``/``release`` are kept as the loop's exit protocol so a
     future safe block-reuse policy can slot in without touching operators."""
 
-    def __init__(self, checkpoint_every: int = 1):
+    def __init__(self, checkpoint_every: int = 1,
+                 partition_cols: list[str] | None = None,
+                 n_part: int | None = None):
         self.checkpoint_every = checkpoint_every
+        self.partition_cols = partition_cols
+        self.n_part = n_part
         self._i = 0
 
     def materialize(self, df: DataFrame) -> DataFrame:
         self._i += 1
         # shares truncate_lineage's stats reset: superstep plans reference
         # the previous state twice, so carried-forward estimates compound
-        # across supersteps (see truncate_lineage's docstring)
+        # across supersteps (see truncate_lineage's docstring). With
+        # partition_cols set, the leaf keeps its hash-partitioning metadata
+        # so the next superstep's state-side join needs no Exchange.
+        if self.partition_cols:
+            return truncate_lineage_partitioned(
+                df, self.partition_cols, self.n_part
+            )
         return truncate_lineage(df)
 
     def finalize(self, state: DataFrame) -> DataFrame:

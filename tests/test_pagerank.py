@@ -145,3 +145,73 @@ def test_pagerank_kernel_spill_dir_route(spark, tmp_path):
         g, fixed_iterations=5, strategy="auto", kernel_max_vertices=1,
         kernel_spill_dir=str(tmp_path / "kb2")).collect()}
     assert c == a
+
+
+def test_superstep_no_state_side_exchange(spark):
+    """VERDICT r3 #6: with partition_by_src edges and the
+    partitioning-stamped state leaf (truncate_lineage_partitioned), a
+    pagerank superstep plan must contain NO state-side Exchange — the only
+    exchange left is the unavoidable |E|-row gather aggregation on dst."""
+    from pyspark.sql import functions as F
+
+    from metagraph_spark.state import truncate_lineage_partitioned
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False))
+        gp = g.partition_by_src(n_part)
+        gp.edges.count()
+        state = spark.createDataFrame(
+            [(i, 0.25, 2.0, False) for i in range(4)],
+            "id long, rank double, outdeg double, dangling boolean",
+        ).repartition(n_part, "id")
+        state = truncate_lineage_partitioned(state, ["id"], n_part)
+        # the operator's superstep shape (operators/pagerank.py loop body)
+        contrib = state.filter(~F.col("dangling")).select(
+            F.col("id").alias("src"), (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        gather = (
+            gp.edges.join(contrib.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("g"))
+        )
+        new_state = (
+            state.select("id", "outdeg", "dangling", F.col("rank").alias("prev"))
+            .join(gather.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id", "outdeg", "dangling",
+                (F.lit(0.85) * F.coalesce("g", F.lit(0.0)) + F.lit(0.0375))
+                .alias("rank"),
+                "prev",
+            )
+        )
+        plan = new_state._jdf.queryExecution().executedPlan().toString()
+        # top-level exchange lines (the edges cache's embedded REPARTITION
+        # exchange inside InMemoryRelation is the one-time layout, not a
+        # per-superstep cost)
+        top = [
+            ln for ln in plan.splitlines()
+            if "+- Exchange" in ln and "REPARTITION" not in ln
+        ]
+        assert len(top) == 1, plan
+        assert "hashpartitioning(dst" in top[0], plan
+        assert "Exchange hashpartitioning(id" not in plan, plan
+        # the co-partitioned joins must hash-build the |V| side, never
+        # re-sort the |E|-row edge cache per superstep
+        assert "ShuffledHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_pagerank_copartition_state_parity(spark):
+    """copartition_state=True (no state-side Exchange) must produce exactly
+    the default path's values."""
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False))
+    a = {r["id"]: r["rank"] for r in
+         pagerank(g, fixed_iterations=6, copartition_state=True).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank(g, fixed_iterations=6).collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
