@@ -95,14 +95,20 @@ def katz_centrality(
     total = fixed_iterations if fixed_iterations is not None else maxiter
     sumsq = None
     for it in range(total):
+        # shuffle_hash: hash-build the |V|-row vertex side instead of
+        # SMJ-sorting the persisted src-partitioned |E|-row edge cache
+        # every superstep (see operators/pagerank.py — measured 25-40%)
         gather = (
-            edges.join(state.select(F.col(ID).alias(SRC), "v"), SRC)
+            edges.join(
+                state.select(F.col(ID).alias(SRC), "v").hint("shuffle_hash"),
+                SRC,
+            )
             .groupBy(F.col(DST).alias(ID))
             .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g"))
         )
         new_state = (
             state.select(ID, F.col("v").alias("prev"))
-            .join(gather, ID, "left")
+            .join(gather.hint("shuffle_hash"), ID, "left")
             .select(
                 ID,
                 (
@@ -174,7 +180,7 @@ def eigenvector_centrality(
                 state.select(
                     F.col(ID).alias(SRC),
                     (F.col("v") / F.lit(cur_norm)).alias("nv"),
-                ),
+                ).hint("shuffle_hash"),
                 SRC,
             )
             .groupBy(F.col(DST).alias(ID))
@@ -182,7 +188,7 @@ def eigenvector_centrality(
         )
         new_state = (
             state.select(ID, F.col("v").alias("pv"))
-            .join(gather, ID, "left")
+            .join(gather.hint("shuffle_hash"), ID, "left")
             .select(
                 ID,
                 (
@@ -276,7 +282,7 @@ def hits_centrality(
                     h.select(
                         F.col(ID).alias(SRC),
                         (F.col("v") / F.lit(h_norm)).alias("nv"),
-                    ),
+                    ).hint("shuffle_hash"),
                     SRC,
                 )
                 .groupBy(F.col(DST).alias(ID))
@@ -298,7 +304,7 @@ def hits_centrality(
                     a.select(
                         F.col(ID).alias(DST),
                         (F.col("v") / F.lit(a_norm)).alias("nv"),
-                    ),
+                    ).hint("shuffle_hash"),
                     DST,
                 )
                 .groupBy(F.col(SRC).alias(ID))

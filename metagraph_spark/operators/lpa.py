@@ -49,14 +49,21 @@ def label_propagation_community(
     aggregation, no window sort.
     """
     spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = Graph(
         edges=graph.canonical_undirected_edges().select(SRC, DST),
         is_directed=False,
     ).symmetrized()
-    # self-loops implement the one-self-vote rule; persist once for the loop
-    sym = sym.unionAll(
-        graph.node_ids().select(F.col(ID).alias(SRC), F.col(ID).alias(DST))
-    ).persist()
+    # self-loops implement the one-self-vote rule; persist once for the
+    # loop, SRC-partitioned so the per-round vote join never re-shuffles
+    # the 2|E|+V-row table (only the |V|-row label state moves)
+    sym = (
+        sym.unionAll(
+            graph.node_ids().select(F.col(ID).alias(SRC), F.col(ID).alias(DST))
+        )
+        .repartition(n_part, SRC)
+        .persist()
+    )
 
     start_round = 0
     labels = None
@@ -77,8 +84,16 @@ def label_propagation_community(
     total = fixed_rounds if fixed_rounds is not None else max_rounds
     rnd = start_round
     while rnd < total:
+        # shuffle_hash: hash-build the |V|-row label side; SMJ would sort
+        # the src-partitioned edge cache every round (operators/pagerank.py
+        # measurement)
         votes = (
-            sym.join(labels.select(F.col(ID).alias(SRC), "label"), SRC)
+            sym.join(
+                labels.select(F.col(ID).alias(SRC), "label").hint(
+                    "shuffle_hash"
+                ),
+                SRC,
+            )
             .groupBy(F.col(DST).alias(ID), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
