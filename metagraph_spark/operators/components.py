@@ -58,7 +58,10 @@ def _min_label_fixpoint(
     while rnd < total:
         nbr_min = (
             sym_edges.join(
-                labels.select(F.col(ID).alias(SRC), F.col("label")), SRC
+                labels.select(F.col(ID).alias(SRC), F.col("label")).hint(
+                    "shuffle_hash"
+                ),
+                SRC,
             )
             .groupBy(F.col(DST).alias(ID))
             .agg(F.min("label").alias("nbr_label"))
@@ -244,11 +247,15 @@ def connected_components(
             max_rounds,
         )
     # always symmetrize: CC is over the undirected underlying graph; persist
-    # once — every round reuses the edge table
+    # once, SRC-partitioned — every round reuses the edge layout and only
+    # the |V|-row label state moves
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = graph.edges.select(SRC, DST)
-    sym = e.unionAll(
-        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    ).persist()
+    sym = (
+        e.unionAll(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        .repartition(n_part, SRC)
+        .persist()
+    )
 
     start_round = 0
     labels = None

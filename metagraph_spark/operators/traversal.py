@@ -41,7 +41,10 @@ def bfs_tree(
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(depths, parents)``: NodeMaps ``(id, depth)`` and
     ``(id, parent)`` over reachable nodes; source's parent is itself."""
-    edges = graph.symmetrized().select(SRC, DST).persist()
+    n_part = int(graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        graph.symmetrized().select(SRC, DST).repartition(n_part, SRC).persist()
+    )
     if depth_limit < 0:
         depth_limit = 2_000_000_000
     visited = truncate_lineage(
@@ -54,7 +57,9 @@ def bfs_tree(
     while depth < depth_limit:
         depth += 1
         nxt = (
-            edges.join(frontier.withColumnRenamed(ID, SRC), SRC)
+            edges.join(
+                frontier.withColumnRenamed(ID, SRC).hint("shuffle_hash"), SRC
+            )
             .select(F.col(DST).alias(ID), F.col(SRC).alias("parent"))
             .groupBy(ID)
             .agg(F.min("parent").alias("parent"))
@@ -93,8 +98,17 @@ def bellman_ford(
     (raises ConvergenceError, mirroring nx's NetworkXUnbounded surface)."""
     if not graph.is_weighted:
         raise GraphPropertyError("bellman_ford requires edge weights")
-    edges = graph.symmetrized().select(SRC, DST, WEIGHT).persist()
     spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # SRC-partitioned persist + vertex-side hash build: the relaxation join
+    # then reuses the cached layout and never re-sorts/re-shuffles |E| rows
+    # per round (same measurement as operators/pagerank.py)
+    edges = (
+        graph.symmetrized()
+        .select(SRC, DST, WEIGHT)
+        .repartition(n_part, SRC)
+        .persist()
+    )
     state = truncate_lineage(
         spark.createDataFrame(
             [(int(source_node), 0.0, int(source_node))],
@@ -105,7 +119,10 @@ def bellman_ford(
     for rnd in range(limit):
         cand = (
             edges.join(
-                state.select(F.col(ID).alias(SRC), F.col("dist").alias("_d")), SRC
+                state.select(
+                    F.col(ID).alias(SRC), F.col("dist").alias("_d")
+                ).hint("shuffle_hash"),
+                SRC,
             )
             .select(
                 F.col(DST).alias(ID),
