@@ -186,20 +186,24 @@ def main() -> None:
             "join_graph": {"nodes": join_v, "edges": join_e,
                            "iters": join_iters},
         }
+        kernel_only = os.environ.get("SPARK_GRAFT_SCALING_KERNEL_ONLY") == "1"
+        join_only = os.environ.get("SPARK_GRAFT_SCALING_JOIN_ONLY") == "1"
         for pair in pairs_env.split(","):
             lo, hi = (int(x) for x in pair.split(":"))
-            print(f"kernel path {lo} -> {hi}", flush=True)
-            kr = best_of(KERNEL_WORKER, (lo, hi), trials, kargs)
-            summary[f"kernel_{lo}_{hi}"] = {
-                f"local{lo}": kr[lo], f"local{hi}": kr[hi],
-                "efficiency": round(eff(kr, lo, hi), 3),
-            }
-            print(f"join path {lo} -> {hi}", flush=True)
-            jr = best_of(JOIN_WORKER, (lo, hi), trials, jargs)
-            summary[f"join_{lo}_{hi}"] = {
-                f"local{lo}": jr[lo], f"local{hi}": jr[hi],
-                "efficiency": round(eff(jr, lo, hi), 3),
-            }
+            if not join_only:
+                print(f"kernel path {lo} -> {hi}", flush=True)
+                kr = best_of(KERNEL_WORKER, (lo, hi), trials, kargs)
+                summary[f"kernel_{lo}_{hi}"] = {
+                    f"local{lo}": kr[lo], f"local{hi}": kr[hi],
+                    "efficiency": round(eff(kr, lo, hi), 3),
+                }
+            if not kernel_only:
+                print(f"join path {lo} -> {hi}", flush=True)
+                jr = best_of(JOIN_WORKER, (lo, hi), trials, jargs)
+                summary[f"join_{lo}_{hi}"] = {
+                    f"local{lo}": jr[lo], f"local{hi}": jr[hi],
+                    "efficiency": round(eff(jr, lo, hi), 3),
+                }
         print(json.dumps(summary))
         return
 
