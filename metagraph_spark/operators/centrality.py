@@ -75,13 +75,42 @@ def katz_centrality(
     maxiter: int = 50,
     tolerance: float = 1e-05,
     fixed_iterations: int | None = None,
+    strategy: str = "join",
+    kernel_max_vertices: int | None = None,
 ) -> DataFrame:
     """Returns ``(id, katz)``. One Spark job per superstep: the gather join
     feeds a state materialization whose ``observe`` carries both the L1
     error and ``Σv²`` (so the final L2 normalization needs no extra pass).
 
     ``fixed_iterations`` runs exactly k supersteps with no convergence test
-    (oracle parity — the DuckDB side unrolls the same k updates)."""
+    (oracle parity — the DuckDB side unrolls the same k updates).
+
+    ``strategy``: ``"join"`` (default — scales to any V), ``"kernel"``
+    (weighted CSR/Arrow blocks, zero-shuffle supersteps — see
+    ``operators/kernel_algos.py:katz_kernel``; dense driver vector capped
+    at ``pagerank.KERNEL_MAX_VERTICES``), or ``"auto"`` (kernel when the
+    vertex count fits). Identical update rule, asserted by shared tests."""
+    if strategy not in ("join", "kernel", "auto"):
+        raise ValueError(f"unknown katz strategy {strategy!r}")
+    if strategy != "join":
+        from metagraph_spark.operators.pagerank import KERNEL_MAX_VERTICES
+
+        cap = (
+            kernel_max_vertices
+            if kernel_max_vertices is not None
+            else KERNEL_MAX_VERTICES
+        )
+        if strategy == "kernel" or graph.num_nodes() <= cap:
+            from metagraph_spark.operators.kernel_algos import katz_kernel
+
+            return katz_kernel(
+                graph,
+                attenuation_factor=attenuation_factor,
+                immediate_neighbor_weight=immediate_neighbor_weight,
+                maxiter=maxiter,
+                tolerance=tolerance,
+                fixed_iterations=fixed_iterations,
+            )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _weighted_edges(graph).repartition(n_part, SRC).persist()

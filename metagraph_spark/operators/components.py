@@ -227,6 +227,8 @@ def connected_components(
     max_rounds: int = 200,
     fixed_rounds: int | None = None,
     checkpointer: CheckpointManager | None = None,
+    strategy: str = "join",
+    kernel_max_vertices: int | None = None,
 ) -> DataFrame:
     """Return NodeMap ``(id: long, label: long)``; label = min node id in the
     component. Directed input is treated as its undirected underlying graph
@@ -237,7 +239,35 @@ def connected_components(
     small-star rounds (:func:`_two_phase_cc` — O(log V) rounds on a
     SHRINKING edge set). ``fixed_rounds`` (the unrolled-SQL oracle
     contract) and checkpointed runs keep the hash-min label exchange,
-    whose per-round vertex state is what the resume protocol snapshots."""
+    whose per-round vertex state is what the resume protocol snapshots.
+
+    ``strategy="kernel"``/``"auto"`` routes to the CSR-block hash-min
+    kernel (``operators/kernel_algos.py:cc_kernel`` — segmented-min
+    gather, pointer-jumped dense labels; EXACTLY the same labels, capped
+    at ``pagerank.KERNEL_MAX_VERTICES`` for ``"auto"``). The kernel keeps
+    no durable per-round state, so it is never combined with a
+    checkpointer (explicit ``"kernel"`` + checkpointer raises)."""
+    if strategy not in ("join", "kernel", "auto"):
+        raise ValueError(f"unknown connected_components strategy {strategy!r}")
+    if strategy == "kernel" and checkpointer is not None:
+        raise ValueError(
+            "strategy='kernel' keeps no durable per-round state and cannot "
+            "honor a checkpointer; use strategy='join' or 'auto'"
+        )
+    if strategy != "join" and checkpointer is None:
+        from metagraph_spark.operators.pagerank import KERNEL_MAX_VERTICES
+
+        cap = (
+            kernel_max_vertices
+            if kernel_max_vertices is not None
+            else KERNEL_MAX_VERTICES
+        )
+        if strategy == "kernel" or graph.num_nodes() <= cap:
+            from metagraph_spark.operators.kernel_algos import cc_kernel
+
+            return cc_kernel(
+                graph, max_rounds=max_rounds, fixed_rounds=fixed_rounds
+            )
     spark = graph.edges.sparkSession
     if fixed_rounds is None and checkpointer is None:
         return _two_phase_cc(

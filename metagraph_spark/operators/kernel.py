@@ -39,9 +39,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from metagraph_spark.exceptions import ConvergenceError
-from metagraph_spark.graph import DST, ID, SRC, Graph
+from metagraph_spark.graph import DST, ID, SRC, WEIGHT, Graph
 
 BLOCK_SCHEMA = "block int, dst_lo long, srcs array<int>, dsts array<int>"
+BLOCK_SCHEMA_W = BLOCK_SCHEMA + ", ws array<double>"
 
 # Block arrays are raw .npy files opened with mmap in every task: the OS
 # page cache holds ONE copy of each block for the whole host, shared by all
@@ -75,6 +76,11 @@ def _open_block(path: str):
     )
 
 
+def _open_block_weights(path: str):
+    """Per-edge weight array for one block (``with_weights=True`` layouts)."""
+    return np.load(path + ".ws.npy", mmap_mode="r")
+
+
 class EdgeBlocks:
     """Dense-positional edge blocks + node metadata for kernel supersteps.
 
@@ -90,7 +96,7 @@ class EdgeBlocks:
                  out_deg: np.ndarray | None = None,
                  manifest: DataFrame | None = None,
                  spill_dir: str | None = None, n: int | None = None,
-                 n_dangling: int | None = None):
+                 n_dangling: int | None = None, has_weights: bool = False):
         self.blocks = blocks_df
         self._node_ids = node_ids     # sorted original ids, position = index
         self._out_deg = out_deg       # out-degree per position
@@ -98,6 +104,7 @@ class EdgeBlocks:
         self.manifest = manifest      # (path, dst_lo) rows when file-backed
         self.spill_dir = spill_dir    # set when file-backed
         self.n_dangling = n_dangling  # zero-out-degree count (file layout)
+        self.has_weights = has_weights  # blocks carry a per-edge ws array
 
     @property
     def node_ids(self) -> np.ndarray:
@@ -232,6 +239,8 @@ def build_edge_blocks(
     graph: Graph,
     num_blocks: int | None = None,
     spill_dir: str | None = None,
+    edges: DataFrame | None = None,
+    with_weights: bool = False,
 ) -> EdgeBlocks:
     """One-time layout step (a few shuffles total, then cached).
 
@@ -243,14 +252,32 @@ def build_edge_blocks(
     mmap'd id file in each task, and driver-resident state is the
     O(num_blocks) manifest plus scalars. Without ``spill_dir``: in-memory
     Arrow blocks with driver-broadcast id/degree arrays (the small-graph
-    fast path; capped by ``KERNEL_MAX_VERTICES``)."""
+    fast path; capped by ``KERNEL_MAX_VERTICES``).
+
+    ``edges`` overrides the edge set (must already carry the directions the
+    algorithm gathers over — e.g. LPA's canonical-symmetrized set plus
+    self-loop votes); node positions still come from ``graph.node_ids()``.
+    ``with_weights=True`` additionally packs a per-edge ``ws`` double array
+    per block (absent weight column → 1.0), enabling the weighted kernels
+    (katz). Block edge arrays are sorted by local dst so segmented kernels
+    (min/mode via ``reduceat``) run without a per-round sort and the
+    bincount gather writes sequentially."""
     import os
 
     spark = graph.edges.sparkSession
     if num_blocks is None:
         num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nb = int(num_blocks)
-    edges = graph.symmetrized().select(SRC, DST)
+    if edges is None:
+        edges = graph.symmetrized()
+    if with_weights:
+        if WEIGHT not in edges.columns:
+            edges = edges.withColumn(WEIGHT, F.lit(1.0))
+        edges = edges.select(
+            SRC, DST, F.col(WEIGHT).cast("double").alias(WEIGHT)
+        )
+    else:
+        edges = edges.select(SRC, DST)
 
     if spill_dir is not None:
         os.makedirs(spill_dir, exist_ok=True)
@@ -265,19 +292,20 @@ def build_edge_blocks(
             for pdf in batches:
                 sp = np.searchsorted(ids, pdf[SRC].to_numpy()).astype(np.int64)
                 dp = np.searchsorted(ids, pdf[DST].to_numpy()).astype(np.int64)
-                yield pd.DataFrame(
-                    {
-                        "block": (dp * nb // n).astype(np.int32),
-                        "src_blk": (sp * nb // n).astype(np.int32),
-                        "src_pos": sp.astype(np.int32),
-                        "dst_pos": dp.astype(np.int32),
-                    }
-                )
+                out = {
+                    "block": (dp * nb // n).astype(np.int32),
+                    "src_blk": (sp * nb // n).astype(np.int32),
+                    "src_pos": sp.astype(np.int32),
+                    "dst_pos": dp.astype(np.int32),
+                }
+                if with_weights:
+                    out["w"] = pdf[WEIGHT].to_numpy(dtype=np.float64)
+                yield pd.DataFrame(out)
 
-        pos = edges.mapInPandas(
-            to_positions,
-            schema="block int, src_blk int, src_pos int, dst_pos int",
-        )
+        pos_schema = "block int, src_blk int, src_pos int, dst_pos int"
+        if with_weights:
+            pos_schema += ", w double"
+        pos = edges.mapInPandas(to_positions, schema=pos_schema)
 
         def pack_to_file(key, pdf: pd.DataFrame) -> pd.DataFrame:
             blk = int(key[0])
@@ -285,11 +313,15 @@ def build_edge_blocks(
             # raw .npy pair (NOT .npz): tasks mmap these, so the page cache
             # keeps one host-wide copy instead of one per python worker
             path = os.path.join(spill_dir, f"block_{blk:05d}")
-            np.save(path + ".srcs.npy", pdf["src_pos"].to_numpy())
-            np.save(
-                path + ".dsts.npy",
-                (pdf["dst_pos"].to_numpy() - lo).astype(np.int32),
-            )
+            dsts_local = (pdf["dst_pos"].to_numpy() - lo).astype(np.int32)
+            order = np.argsort(dsts_local, kind="stable")
+            np.save(path + ".srcs.npy", pdf["src_pos"].to_numpy()[order])
+            np.save(path + ".dsts.npy", dsts_local[order])
+            if with_weights:
+                np.save(
+                    path + ".ws.npy",
+                    pdf["w"].to_numpy(dtype=np.float64)[order],
+                )
             return pd.DataFrame({"path": [path], "dst_lo": [lo]})
 
         manifest = (
@@ -313,6 +345,8 @@ def build_edge_blocks(
                 path = os.path.join(spill_dir, f"block_{k:05d}")
                 np.save(path + ".srcs.npy", empty)
                 np.save(path + ".dsts.npy", empty)
+                if with_weights:
+                    np.save(path + ".ws.npy", np.array([], dtype=np.float64))
                 extra.append((path, _blk_lo(k, n, nb)))
             full = manifest.unionAll(
                 spark.createDataFrame(extra, "path string, dst_lo long")
@@ -327,6 +361,7 @@ def build_edge_blocks(
             spill_dir=spill_dir,
             n=n,
             n_dangling=n_dangling,
+            has_weights=with_weights,
         )
         _save_metadata(eb, spill_dir)
         return eb
@@ -344,28 +379,35 @@ def build_edge_blocks(
             sp = np.searchsorted(ids, pdf[SRC].to_numpy())
             dp = np.searchsorted(ids, pdf[DST].to_numpy())
             blk = (dp.astype(np.int64) * nb // len(ids)).astype(np.int32)
-            yield pd.DataFrame({"block": blk, "src_pos": sp.astype(np.int32),
-                                "dst_pos": dp.astype(np.int32)})
+            out = {"block": blk, "src_pos": sp.astype(np.int32),
+                   "dst_pos": dp.astype(np.int32)}
+            if with_weights:
+                out["w"] = pdf[WEIGHT].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(out)
 
-    pos = edges.mapInPandas(
-        to_positions_mem, schema="block int, src_pos int, dst_pos int"
-    )
+    pos_schema_mem = "block int, src_pos int, dst_pos int"
+    if with_weights:
+        pos_schema_mem += ", w double"
+    pos = edges.mapInPandas(to_positions_mem, schema=pos_schema_mem)
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         blk = int(key[0])
         lo = _blk_lo(blk, n, nb)
-        return pd.DataFrame(
-            {
-                "block": [blk],
-                "dst_lo": [lo],
-                "srcs": [pdf["src_pos"].to_numpy()],
-                "dsts": [(pdf["dst_pos"].to_numpy() - lo)],
-            }
-        )
+        dsts_local = pdf["dst_pos"].to_numpy() - lo
+        order = np.argsort(dsts_local, kind="stable")
+        out = {
+            "block": [blk],
+            "dst_lo": [lo],
+            "srcs": [pdf["src_pos"].to_numpy()[order]],
+            "dsts": [dsts_local[order]],
+        }
+        if with_weights:
+            out["ws"] = [pdf["w"].to_numpy(dtype=np.float64)[order]]
+        return pd.DataFrame(out)
 
     blocks = (
         pos.groupBy("block")
-        .applyInPandas(pack, schema=BLOCK_SCHEMA)
+        .applyInPandas(pack, schema=BLOCK_SCHEMA_W if with_weights else BLOCK_SCHEMA)
         .persist()
     )
     blocks.count()
@@ -381,7 +423,7 @@ def build_edge_blocks(
     # unpersist (not destroy): the cached blocks' lineage references the
     # broadcast; a cache-miss recomputation must be able to re-fetch it
     bc_ids.unpersist()
-    return EdgeBlocks(blocks, node_ids, out_deg)
+    return EdgeBlocks(blocks, node_ids, out_deg, has_weights=with_weights)
 
 
 def _save_metadata(eb: EdgeBlocks, spill_dir: str) -> None:
@@ -392,7 +434,14 @@ def _save_metadata(eb: EdgeBlocks, spill_dir: str) -> None:
     with open(os.path.join(spill_dir, "manifest.json"), "w") as f:
         json.dump(rows, f)
     with open(os.path.join(spill_dir, "meta.json"), "w") as f:
-        json.dump({"n": eb.n, "n_dangling": eb.n_dangling}, f)
+        json.dump(
+            {
+                "n": eb.n,
+                "n_dangling": eb.n_dangling,
+                "has_weights": eb.has_weights,
+            },
+            f,
+        )
 
 
 def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
@@ -408,10 +457,12 @@ def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
     with open(os.path.join(spill_dir, "manifest.json")) as f:
         rows = json.load(f)
     meta_path = os.path.join(spill_dir, "meta.json")
+    has_weights = False
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         n, n_dangling = int(meta["n"]), meta["n_dangling"]
+        has_weights = bool(meta.get("has_weights", False))
     else:  # pre-round-4 layout dirs
         n = int(
             np.load(os.path.join(spill_dir, "node_ids.npy"), mmap_mode="r").shape[0]
@@ -422,7 +473,7 @@ def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
     ).persist()
     manifest.count()
     return EdgeBlocks(None, manifest=manifest, spill_dir=spill_dir, n=n,
-                      n_dangling=n_dangling)
+                      n_dangling=n_dangling, has_weights=has_weights)
 
 
 class LocalSliceStore:

@@ -40,6 +40,8 @@ def label_propagation_community(
     max_rounds: int = 50,
     fixed_rounds: int | None = None,
     checkpointer: CheckpointManager | None = None,
+    strategy: str = "join",
+    kernel_max_vertices: int | None = None,
 ) -> DataFrame:
     """Return NodeMap ``(id: long, label: long)``.
 
@@ -47,7 +49,34 @@ def label_propagation_community(
     label. Implemented with a single ``min_by(label, struct(-count, label))``
     — equivalently ``min(struct(neg_count, label))`` — so each round is one
     aggregation, no window sort.
+
+    ``strategy="kernel"``/``"auto"`` routes to the CSR-block vote kernel
+    (``operators/kernel_algos.py:lpa_kernel`` — lexsorted run-length vote
+    counting, segmented argmax; EXACTLY the same labels, capped at
+    ``pagerank.KERNEL_MAX_VERTICES`` for ``"auto"``). The kernel keeps no
+    durable per-round state (explicit ``"kernel"`` + checkpointer raises).
     """
+    if strategy not in ("join", "kernel", "auto"):
+        raise ValueError(f"unknown lpa strategy {strategy!r}")
+    if strategy == "kernel" and checkpointer is not None:
+        raise ValueError(
+            "strategy='kernel' keeps no durable per-round state and cannot "
+            "honor a checkpointer; use strategy='join' or 'auto'"
+        )
+    if strategy != "join" and checkpointer is None:
+        from metagraph_spark.operators.pagerank import KERNEL_MAX_VERTICES
+
+        cap = (
+            kernel_max_vertices
+            if kernel_max_vertices is not None
+            else KERNEL_MAX_VERTICES
+        )
+        if strategy == "kernel" or graph.num_nodes() <= cap:
+            from metagraph_spark.operators.kernel_algos import lpa_kernel
+
+            return lpa_kernel(
+                graph, max_rounds=max_rounds, fixed_rounds=fixed_rounds
+            )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = Graph(

@@ -1,0 +1,186 @@
+"""CSR/Arrow kernel parity for katz / connected components / LPA:
+kernel_algos.* must match the join-based operators exactly (integer labels)
+or to float tolerance (katz), and the strategy switches must route."""
+
+import math
+import random
+
+import pytest
+
+from metagraph_spark.graph import build
+from metagraph_spark.operators.centrality import katz_centrality
+from metagraph_spark.operators.components import connected_components
+from metagraph_spark.operators.kernel import build_edge_blocks
+from metagraph_spark.operators.kernel_algos import (
+    cc_kernel,
+    katz_kernel,
+    lpa_kernel,
+)
+from metagraph_spark.operators.lpa import label_propagation_community
+from tests.conftest import df_from_edges
+
+KATZ_GOLDEN_EDGES = [
+    (0, 1, 1), (0, 2, 1), (2, 0, 1), (1, 2, 1),
+    (1, 5, 1), (3, 2, 1), (3, 4, 1), (5, 4, 1),
+]
+KATZ_GOLDEN = {
+    0: 0.4069549895218489, 1: 0.40687482321632046, 2: 0.41497162410274485,
+    3: 0.40280527348222406, 4: 0.410902066312543, 5: 0.4068740216338262,
+}
+
+
+def _random_edges(n_nodes, n_edges, seed, weighted=True):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_edges):
+        s, d = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if weighted:
+            out.append((s, d, float(rng.randint(1, 5))))
+        else:
+            out.append((s, d))
+    return out
+
+
+def _map(df, col):
+    return {r["id"]: r[col] for r in df.collect()}
+
+
+def test_katz_kernel_golden(spark):
+    g = build(df_from_edges(spark, KATZ_GOLDEN_EDGES), is_directed=True)
+    got = _map(katz_kernel(g, tolerance=1e-7), "katz")
+    assert set(got) == set(KATZ_GOLDEN)
+    for k, v in KATZ_GOLDEN.items():
+        assert math.isclose(got[k], v, rel_tol=1e-5), (k, got[k])
+
+
+def test_katz_kernel_matches_join_weighted(spark):
+    edges = _random_edges(40, 200, seed=7)
+    g = build(df_from_edges(spark, edges), is_directed=False)
+    join = _map(
+        katz_centrality(g, attenuation_factor=0.005, fixed_iterations=6),
+        "katz",
+    )
+    kern = _map(
+        katz_kernel(g, attenuation_factor=0.005, fixed_iterations=6), "katz"
+    )
+    assert set(join) == set(kern)
+    for k in join:
+        assert math.isclose(join[k], kern[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_katz_kernel_file_backed_weighted(spark, tmp_path):
+    """File-backed weighted blocks (.ws.npy) agree with in-memory blocks."""
+    edges = _random_edges(30, 120, seed=11)
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    eb_mem = build_edge_blocks(g, num_blocks=3, with_weights=True)
+    eb_file = build_edge_blocks(
+        g, num_blocks=3, spill_dir=str(tmp_path / "wblocks"), with_weights=True
+    )
+    mem = _map(katz_kernel(eb_mem, fixed_iterations=5), "katz")
+    fil = _map(katz_kernel(eb_file, fixed_iterations=5), "katz")
+    assert set(mem) == set(fil)
+    for k in mem:
+        assert math.isclose(mem[k], fil[k], rel_tol=1e-12, abs_tol=1e-15)
+    eb_mem.unpersist()
+    eb_file.unpersist()
+
+
+def test_katz_auto_strategy_threshold(spark):
+    g = build(df_from_edges(spark, KATZ_GOLDEN_EDGES), is_directed=True)
+    via_kernel = _map(
+        katz_centrality(
+            g, tolerance=1e-7, strategy="auto", kernel_max_vertices=100
+        ),
+        "katz",
+    )
+    via_join = _map(
+        katz_centrality(
+            g, tolerance=1e-7, strategy="auto", kernel_max_vertices=1
+        ),
+        "katz",
+    )
+    for k, v in KATZ_GOLDEN.items():
+        assert math.isclose(via_kernel[k], v, rel_tol=1e-5)
+        assert math.isclose(via_join[k], v, rel_tol=1e-5)
+
+
+def test_cc_kernel_matches_join_converged(spark):
+    # three components incl a self-loop node and a 2-cycle
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (5, 5), (6, 7), (7, 6), (8, 1)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    join = _map(connected_components(g), "label")
+    kern = _map(cc_kernel(g), "label")
+    assert join == kern
+
+
+def test_cc_kernel_long_chain_pointer_jumping(spark):
+    # 80-node chain: pure hash-min needs 80 rounds; pointer jumping must
+    # finish well inside max_rounds=20
+    edges = [(i, i + 1) for i in range(80)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    kern = _map(cc_kernel(g, max_rounds=20), "label")
+    assert set(kern.values()) == {0}
+
+
+def test_cc_kernel_fixed_rounds_pure_hashmin_parity(spark):
+    edges = _random_edges(50, 120, seed=3, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    for k in (1, 2, 4):
+        join = _map(connected_components(g, fixed_rounds=k), "label")
+        kern = _map(cc_kernel(g, fixed_rounds=k), "label")
+        assert join == kern, f"fixed_rounds={k}"
+
+
+def test_cc_strategy_routing(spark):
+    edges = [(0, 1), (2, 3)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    via_kernel = _map(
+        connected_components(g, strategy="auto", kernel_max_vertices=100),
+        "label",
+    )
+    via_join = _map(
+        connected_components(g, strategy="auto", kernel_max_vertices=1),
+        "label",
+    )
+    assert via_kernel == via_join == {0: 0, 1: 0, 2: 2, 3: 2}
+    from metagraph_spark.state import CheckpointManager
+
+    with pytest.raises(ValueError):
+        connected_components(
+            g,
+            strategy="kernel",
+            checkpointer=CheckpointManager("/tmp/nonexistent_ckpt_dir_cc", "r"),
+        )
+
+
+def test_lpa_kernel_matches_join(spark):
+    edges = _random_edges(40, 150, seed=13, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    join = _map(label_propagation_community(g, max_rounds=30), "label")
+    kern = _map(lpa_kernel(g, max_rounds=30), "label")
+    assert join == kern
+
+
+def test_lpa_kernel_fixed_rounds_parity(spark):
+    edges = _random_edges(30, 90, seed=21, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    for k in (1, 3):
+        join = _map(label_propagation_community(g, fixed_rounds=k), "label")
+        kern = _map(lpa_kernel(g, fixed_rounds=k), "label")
+        assert join == kern, f"fixed_rounds={k}"
+
+
+def test_lpa_strategy_routing(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    via_kernel = _map(
+        label_propagation_community(
+            g, strategy="auto", kernel_max_vertices=100
+        ),
+        "label",
+    )
+    via_join = _map(
+        label_propagation_community(g, strategy="auto", kernel_max_vertices=1),
+        "label",
+    )
+    assert via_kernel == via_join
