@@ -77,6 +77,7 @@ def katz_centrality(
     fixed_iterations: int | None = None,
     strategy: str = "join",
     kernel_max_vertices: int | None = None,
+    kernel_spill_dir: str | None = None,
 ) -> DataFrame:
     """Returns ``(id, katz)``. One Spark job per superstep: the gather join
     feeds a state materialization whose ``observe`` carries both the L1
@@ -88,8 +89,10 @@ def katz_centrality(
     ``strategy``: ``"join"`` (default — scales to any V), ``"kernel"``
     (weighted CSR/Arrow blocks, zero-shuffle supersteps — see
     ``operators/kernel_algos.py:katz_kernel``; dense driver vector capped
-    at ``pagerank.KERNEL_MAX_VERTICES``), or ``"auto"`` (kernel when the
-    vertex count fits). Identical update rule, asserted by shared tests."""
+    at ``pagerank.KERNEL_MAX_VERTICES`` unless ``kernel_spill_dir`` routes
+    to the file-backed slice-store loop whose vectors never touch the
+    driver), or ``"auto"`` (kernel when the vertex count fits or a spill
+    dir is given). Identical update rule, asserted by shared tests."""
     if strategy not in ("join", "kernel", "auto"):
         raise ValueError(f"unknown katz strategy {strategy!r}")
     if strategy != "join":
@@ -100,17 +103,33 @@ def katz_centrality(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
-        if strategy == "kernel" or graph.num_nodes() <= cap:
+        if (
+            strategy == "kernel"
+            or kernel_spill_dir is not None
+            or graph.num_nodes() <= cap
+        ):
+            from metagraph_spark.operators.kernel import build_edge_blocks
             from metagraph_spark.operators.kernel_algos import katz_kernel
 
-            return katz_kernel(
-                graph,
-                attenuation_factor=attenuation_factor,
-                immediate_neighbor_weight=immediate_neighbor_weight,
-                maxiter=maxiter,
-                tolerance=tolerance,
-                fixed_iterations=fixed_iterations,
-            )
+            target, built = graph, None
+            if kernel_spill_dir is not None:
+                built = build_edge_blocks(
+                    graph, spill_dir=kernel_spill_dir,
+                    with_weights=graph.is_weighted,
+                )
+                target = built
+            try:
+                return katz_kernel(
+                    target,
+                    attenuation_factor=attenuation_factor,
+                    immediate_neighbor_weight=immediate_neighbor_weight,
+                    maxiter=maxiter,
+                    tolerance=tolerance,
+                    fixed_iterations=fixed_iterations,
+                )
+            finally:
+                if built is not None:
+                    built.unpersist()
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _weighted_edges(graph).repartition(n_part, SRC).persist()

@@ -229,6 +229,7 @@ def connected_components(
     checkpointer: CheckpointManager | None = None,
     strategy: str = "join",
     kernel_max_vertices: int | None = None,
+    kernel_spill_dir: str | None = None,
 ) -> DataFrame:
     """Return NodeMap ``(id: long, label: long)``; label = min node id in the
     component. Directed input is treated as its undirected underlying graph
@@ -262,11 +263,18 @@ def connected_components(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
-        if strategy == "kernel" or graph.num_nodes() <= cap:
+        if (
+            strategy == "kernel"
+            or kernel_spill_dir is not None
+            or graph.num_nodes() <= cap
+        ):
             from metagraph_spark.operators.kernel_algos import cc_kernel
 
             return cc_kernel(
-                graph, max_rounds=max_rounds, fixed_rounds=fixed_rounds
+                graph,
+                max_rounds=max_rounds,
+                fixed_rounds=fixed_rounds,
+                spill_dir=kernel_spill_dir,
             )
     spark = graph.edges.sparkSession
     if fixed_rounds is None and checkpointer is None:

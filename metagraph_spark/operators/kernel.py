@@ -121,6 +121,12 @@ class EdgeBlocks:
         if self._out_deg is None:
             import os
 
+            if self.spill_dir is None:
+                raise RuntimeError(
+                    "EdgeBlocks built with_degrees=False carry no degree "
+                    "vector (degree-free kernels: katz/cc/lpa); rebuild "
+                    "with with_degrees=True for pagerank"
+                )
             self._out_deg = np.load(
                 os.path.join(self.spill_dir, "out_deg.npy"), mmap_mode="r"
             )
@@ -241,6 +247,7 @@ def build_edge_blocks(
     spill_dir: str | None = None,
     edges: DataFrame | None = None,
     with_weights: bool = False,
+    with_degrees: bool = True,
 ) -> EdgeBlocks:
     """One-time layout step (a few shuffles total, then cached).
 
@@ -261,7 +268,10 @@ def build_edge_blocks(
     per block (absent weight column → 1.0), enabling the weighted kernels
     (katz). Block edge arrays are sorted by local dst so segmented kernels
     (min/mode via ``reduceat``) run without a per-round sort and the
-    bincount gather writes sequentially."""
+    bincount gather writes sequentially. ``with_degrees=False`` skips the
+    out-degree/inverse-degree computation entirely — the degree-free
+    kernels (katz/cc/lpa) save a full second pass over the |E|-row
+    position table; such blocks cannot feed ``pagerank_kernel``."""
     import os
 
     spark = graph.edges.sparkSession
@@ -306,6 +316,11 @@ def build_edge_blocks(
         if with_weights:
             pos_schema += ", w double"
         pos = edges.mapInPandas(to_positions, schema=pos_schema)
+        if with_degrees:
+            # two consumers (block pack + degree files): persist, or the
+            # |E|-row symmetrize+searchsorted+shuffle runs TWICE (measured
+            # as the dominant layout cost at 100M edges)
+            pos = pos.persist()
 
         def pack_to_file(key, pdf: pd.DataFrame) -> pd.DataFrame:
             blk = int(key[0])
@@ -354,7 +369,11 @@ def build_edge_blocks(
             manifest.unpersist()
             manifest = full.repartition(nb).persist()
             manifest.count()
-        n_dangling = _write_degree_files(pos, spill_dir, n, nb)
+        if with_degrees:
+            n_dangling = _write_degree_files(pos, spill_dir, n, nb)
+            pos.unpersist()
+        else:
+            n_dangling = None
         eb = EdgeBlocks(
             None,
             manifest=manifest,
@@ -412,14 +431,17 @@ def build_edge_blocks(
     )
     blocks.count()
 
-    # out-degree per position (unweighted, matching pagerank semantics)
-    deg_rows = (
-        edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("d")).collect()
-    )
-    out_deg = np.zeros(n, dtype=np.float64)
-    if deg_rows:
-        srcs = np.searchsorted(node_ids, np.array([r[0] for r in deg_rows]))
-        out_deg[srcs] = np.array([r[1] for r in deg_rows], dtype=np.float64)
+    # out-degree per position (unweighted, matching pagerank semantics);
+    # degree-free layouts skip the |E|-row aggregation + O(V) collect
+    out_deg = None
+    if with_degrees:
+        deg_rows = (
+            edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("d")).collect()
+        )
+        out_deg = np.zeros(n, dtype=np.float64)
+        if deg_rows:
+            srcs = np.searchsorted(node_ids, np.array([r[0] for r in deg_rows]))
+            out_deg[srcs] = np.array([r[1] for r in deg_rows], dtype=np.float64)
     # unpersist (not destroy): the cached blocks' lineage references the
     # broadcast; a cache-miss recomputation must be able to re-fetch it
     bc_ids.unpersist()

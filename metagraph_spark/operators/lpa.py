@@ -42,6 +42,7 @@ def label_propagation_community(
     checkpointer: CheckpointManager | None = None,
     strategy: str = "join",
     kernel_max_vertices: int | None = None,
+    kernel_spill_dir: str | None = None,
 ) -> DataFrame:
     """Return NodeMap ``(id: long, label: long)``.
 
@@ -71,11 +72,18 @@ def label_propagation_community(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
-        if strategy == "kernel" or graph.num_nodes() <= cap:
+        if (
+            strategy == "kernel"
+            or kernel_spill_dir is not None
+            or graph.num_nodes() <= cap
+        ):
             from metagraph_spark.operators.kernel_algos import lpa_kernel
 
             return lpa_kernel(
-                graph, max_rounds=max_rounds, fixed_rounds=fixed_rounds
+                graph,
+                max_rounds=max_rounds,
+                fixed_rounds=fixed_rounds,
+                spill_dir=kernel_spill_dir,
             )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))

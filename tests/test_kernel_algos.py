@@ -85,6 +85,24 @@ def test_katz_kernel_file_backed_weighted(spark, tmp_path):
     eb_file.unpersist()
 
 
+def test_katz_kernel_spill_dir_converged_golden(spark, tmp_path):
+    """katz_centrality(kernel_spill_dir=...) routes through the distributed
+    slice-store loop (vector never on the driver) and still hits the
+    reference golden values at convergence."""
+    g = build(df_from_edges(spark, KATZ_GOLDEN_EDGES), is_directed=True)
+    got = _map(
+        katz_centrality(
+            g,
+            tolerance=1e-7,
+            strategy="kernel",
+            kernel_spill_dir=str(tmp_path / "kblocks"),
+        ),
+        "katz",
+    )
+    for k, v in KATZ_GOLDEN.items():
+        assert math.isclose(got[k], v, rel_tol=1e-5), (k, got[k])
+
+
 def test_katz_auto_strategy_threshold(spark):
     g = build(df_from_edges(spark, KATZ_GOLDEN_EDGES), is_directed=True)
     via_kernel = _map(
@@ -151,6 +169,22 @@ def test_cc_strategy_routing(spark):
             strategy="kernel",
             checkpointer=CheckpointManager("/tmp/nonexistent_ckpt_dir_cc", "r"),
         )
+
+
+def test_cc_lpa_kernel_file_backed_parity(spark, tmp_path):
+    """spill_dir (file-backed blocks + mmap label feed) produces exactly
+    the in-memory kernel's labels for both CC and LPA."""
+    edges = _random_edges(40, 120, seed=17, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    cc_mem = _map(cc_kernel(g), "label")
+    cc_file = _map(cc_kernel(g, spill_dir=str(tmp_path / "ccb")), "label")
+    assert cc_mem == cc_file
+    lpa_mem = _map(lpa_kernel(g, fixed_rounds=3), "label")
+    lpa_file = _map(
+        lpa_kernel(g, fixed_rounds=3, spill_dir=str(tmp_path / "lpab")),
+        "label",
+    )
+    assert lpa_mem == lpa_file
 
 
 def test_lpa_kernel_matches_join(spark):
