@@ -224,26 +224,16 @@ def main() -> None:
         # blocks are built ONCE outside the timer (layout seconds reported
         # in extras — the same build-once-iterate-many protocol as the
         # transcript kernel entry); the walls measure the rounds
-        from metagraph_spark.operators.kernel_algos import (
-            cc_blocks,
-            cc_kernel,
-            lpa_kernel,
-            lpa_vote_blocks,
-        )
+        from metagraph_spark.operators.kernel_algos import cc_blocks, cc_kernel
 
         t0 = time.time()
         eb_cc = cc_blocks(g_z, spill_dir=tempfile.mkdtemp(prefix="mgspark_ccb_"))
         extras["big_cc_kernel_layout_sec"] = round(time.time() - t0, 3)
         timed("big_cc_kernel", lambda: cc_kernel(eb_cc).count(), trials=1)
         eb_cc.unpersist()
-        t0 = time.time()
-        eb_lpa = lpa_vote_blocks(
-            g_z, spill_dir=tempfile.mkdtemp(prefix="mgspark_lpab_")
-        )
-        extras["big_lpa_kernel_layout_sec"] = round(time.time() - t0, 3)
-        timed("big_lpa_3r_kernel",
-              lambda: lpa_kernel(eb_lpa, fixed_rounds=3).count(), trials=1)
-        eb_lpa.unpersist()
+        # big LPA kernel measured out-of-band (BENCH/BASELINE.md): its vote
+        # layout costs another ~190s layout pass per bench run for a rounds
+        # number the CC entry already evidences (same feed/gather path)
         g_z.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
 
