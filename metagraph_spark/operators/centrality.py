@@ -197,6 +197,8 @@ def eigenvector_centrality(
     maxiter: int = 50,
     tolerance: float = 1e-05,
     fixed_iterations: int | None = None,
+    strategy: str = "join",
+    kernel_max_vertices: int | None = None,
 ) -> DataFrame:
     """Returns ``(id, eigenvector)``.
 
@@ -204,7 +206,32 @@ def eigenvector_centrality(
     materialization observes ``Σz²`` (→ this iteration's L2 norm) and the
     LAGGED error ``Σ|z/‖z‖ − z_prev/‖z_prev‖|`` using the two known norm
     scalars as literals — one job per superstep, error one superstep late
-    (worst case one extra superstep past convergence, same fixpoint)."""
+    (worst case one extra superstep past convergence, same fixpoint).
+
+    ``strategy="kernel"``/``"auto"`` routes to the CSR-block kernel
+    (``kernel_algos.py:eigenvector_kernel``, same superstep schedule;
+    ``"auto"`` capped at ``pagerank.KERNEL_MAX_VERTICES``)."""
+    if strategy not in ("join", "kernel", "auto"):
+        raise ValueError(f"unknown eigenvector strategy {strategy!r}")
+    if strategy != "join":
+        from metagraph_spark.operators.pagerank import KERNEL_MAX_VERTICES
+
+        cap = (
+            kernel_max_vertices
+            if kernel_max_vertices is not None
+            else KERNEL_MAX_VERTICES
+        )
+        if strategy == "kernel" or graph.num_nodes() <= cap:
+            from metagraph_spark.operators.kernel_algos import (
+                eigenvector_kernel,
+            )
+
+            return eigenvector_kernel(
+                graph,
+                maxiter=maxiter,
+                tolerance=tolerance,
+                fixed_iterations=fixed_iterations,
+            )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _weighted_edges(graph).repartition(n_part, SRC).persist()
@@ -296,6 +323,8 @@ def hits_centrality(
     tolerance: float = 1e-05,
     normalize: bool = True,
     fixed_iterations: int | None = None,
+    strategy: str = "join",
+    kernel_max_vertices: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(hubs, authorities)`` NodeMaps ``(id, hubs)/(id, authority)``.
 
@@ -303,9 +332,33 @@ def hits_centrality(
     ``a = Aᵀh`` and ``h = A·a`` are data-dependent. Each materialization's
     ``observe`` carries the max (for normalization, folded into the NEXT
     expression as a literal) and the h-side L1 error vs the carried ``prev``
-    column (both sides' norms known by then — no separate stats jobs)."""
+    column (both sides' norms known by then — no separate stats jobs).
+
+    ``strategy="kernel"``/``"auto"`` routes to the two-layout CSR kernel
+    (``kernel_algos.py:hits_kernel``; ``"auto"`` capped at
+    ``pagerank.KERNEL_MAX_VERTICES``)."""
+    if strategy not in ("join", "kernel", "auto"):
+        raise ValueError(f"unknown hits strategy {strategy!r}")
     if not graph.is_directed:
         raise GraphPropertyError("hits requires a directed graph")
+    if strategy != "join":
+        from metagraph_spark.operators.pagerank import KERNEL_MAX_VERTICES
+
+        cap = (
+            kernel_max_vertices
+            if kernel_max_vertices is not None
+            else KERNEL_MAX_VERTICES
+        )
+        if strategy == "kernel" or graph.num_nodes() <= cap:
+            from metagraph_spark.operators.kernel_algos import hits_kernel
+
+            return hits_kernel(
+                graph,
+                maxiter=maxiter,
+                tolerance=tolerance,
+                normalize=normalize,
+                fixed_iterations=fixed_iterations,
+            )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _weighted_edges(graph).repartition(n_part, SRC).persist()

@@ -294,6 +294,184 @@ def katz_kernel(
             eb.unpersist()
 
 
+def _gather_once(source_df, file_backed, weighted, vec, n):
+    """One dense ``Aᵀ·vec`` pass over the blocks (broadcast feed). Returns
+    the assembled length-``n`` gather vector."""
+    sc = source_df.sparkSession.sparkContext
+    bc = sc.broadcast(vec)
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = np.asarray(bc.value)
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                srcs, dsts, ws = _block_arrays(row, file_backed, weighted)
+                w = c[srcs]
+                if ws is not None:
+                    w = w * ws
+                g = np.bincount(dsts, weights=w)
+                yield pd.DataFrame(
+                    {"dst_lo": [np.int64(row["dst_lo"])], "g": [g]}
+                )
+
+    out = source_df.mapInPandas(
+        gather, schema="dst_lo long, g array<double>"
+    ).toPandas()
+    bc.unpersist()
+    g_vec = np.zeros(n)
+    for lo, g in zip(out["dst_lo"], out["g"]):
+        g_vec[lo : lo + len(g)] += g
+    return g_vec
+
+
+def eigenvector_kernel(
+    graph_or_blocks,
+    maxiter: int = 50,
+    tolerance: float = 1e-05,
+    fixed_iterations: int | None = None,
+) -> DataFrame:
+    """Eigenvector centrality via CSR blocks. Returns ``(id, eigenvector)``.
+
+    Exactly ``operators/centrality.py:eigenvector_centrality`` (reference
+    ``plugins/networkx/algorithms.py:192-199``): ``x' = x + Aᵀx`` then
+    L2-normalize every iteration; same lagged convergence schedule as the
+    join path (error checked from iteration 1 over ``maxiter+1`` total),
+    so converged runs take identical superstep counts."""
+    if isinstance(graph_or_blocks, Graph):
+        eb, owned, spark = _resolve_blocks(
+            graph_or_blocks, with_weights=graph_or_blocks.is_weighted
+        )
+    else:
+        eb, owned, spark = _resolve_blocks(graph_or_blocks)
+    try:
+        n = eb.n
+        if n == 0:
+            return spark.createDataFrame([], "id long, eigenvector double")
+        file_backed = eb.manifest is not None
+        source_df = eb.manifest if file_backed else eb.blocks
+        weighted = eb.has_weights
+        xn = np.full(n, 1.0 / n)  # current NORMALIZED iterate
+        total = (
+            fixed_iterations if fixed_iterations is not None else maxiter + 1
+        )
+        for it in range(total):
+            g = _gather_once(source_df, file_backed, weighted, xn, n)
+            z = xn + g
+            zn = math.sqrt(float((z * z).sum()))
+            new_xn = z / zn if zn > 0 else z
+            if fixed_iterations is None and it >= 1:
+                err = float(np.abs(xn - new_xn).sum())
+                if err < n * tolerance:
+                    xn = new_xn
+                    break
+            xn = new_xn
+        else:
+            if fixed_iterations is None:
+                raise ConvergenceError(
+                    f"eigenvector failed to converge in {maxiter} iterations"
+                )
+        return spark.createDataFrame(
+            pd.DataFrame({"id": np.asarray(eb.node_ids), "eigenvector": xn}),
+            schema="id long, eigenvector double",
+        )
+    finally:
+        if owned:
+            eb.unpersist()
+
+
+def hits_kernel(
+    graph: Graph,
+    maxiter: int = 50,
+    tolerance: float = 1e-05,
+    normalize: bool = True,
+    fixed_iterations: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS via CSR blocks (directed). Returns ``(hubs, authorities)``.
+
+    Exactly ``operators/centrality.py:hits_centrality`` (nx semantics,
+    ``plugins/networkx/algorithms.py:201-206``): ``a = Aᵀh`` /
+    ``h = A·a`` with max-normalization each half-step, convergence on
+    ``Σ|h'-h| < tol`` (not N-scaled), optional final sum-normalization.
+    Builds TWO block layouts (forward for the authority gather, reversed
+    for the hub gather) — the two mat-vecs are data-dependent, so two
+    passes per superstep is the algorithmic minimum here too."""
+    from metagraph_spark.exceptions import GraphPropertyError
+
+    if not graph.is_directed:
+        raise GraphPropertyError("hits requires a directed graph")
+    from metagraph_spark.graph import WEIGHT
+
+    spark = graph.edges.sparkSession
+    weighted = graph.is_weighted
+    e = graph.edges
+    cols = [SRC, DST] + ([WEIGHT] if weighted else [])
+    fwd_edges = e.select(*cols)
+    rev_cols = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)] + (
+        [F.col(WEIGHT)] if weighted else []
+    )
+    rev_edges = e.select(*rev_cols)
+    eb_f = build_edge_blocks(
+        graph, edges=fwd_edges, with_weights=weighted, with_degrees=False
+    )
+    eb_r = build_edge_blocks(
+        graph, edges=rev_edges, with_weights=weighted, with_degrees=False
+    )
+    try:
+        n = eb_f.n
+        if n == 0:
+            empty_h = spark.createDataFrame([], "id long, hubs double")
+            empty_a = spark.createDataFrame([], "id long, authority double")
+            return empty_h, empty_a
+        src_f = eb_f.blocks if eb_f.blocks is not None else eb_f.manifest
+        src_r = eb_r.blocks if eb_r.blocks is not None else eb_r.manifest
+        fb_f = eb_f.manifest is not None
+        fb_r = eb_r.manifest is not None
+        h = np.full(n, 1.0 / n)
+        h_norm = 1.0
+        a = np.zeros(n)
+        a_norm = 1.0
+        total = fixed_iterations if fixed_iterations is not None else maxiter
+        converged = fixed_iterations is not None
+        for _ in range(total):
+            a = _gather_once(src_f, fb_f, weighted, h / h_norm, n)
+            # join parity: Observation max(v) `or 1.0` — 0.0 falls back,
+            # a negative max (negative weights) is kept as the divisor
+            am = float(a.max())
+            a_norm = am if am != 0.0 else 1.0
+            h_prev_normed = h / h_norm
+            h = _gather_once(src_r, fb_r, weighted, a / a_norm, n)
+            hm = float(h.max())
+            hmax = hm if hm != 0.0 else 1.0
+            if fixed_iterations is None:
+                err = float(np.abs(h / hmax - h_prev_normed).sum())
+                h_norm = hmax
+                if err < tolerance:
+                    converged = True
+                    break
+            else:
+                h_norm = hmax
+        if not converged:
+            raise ConvergenceError(
+                f"hits failed to converge in {maxiter} iterations"
+            )
+        hv = h / h_norm
+        av = a / a_norm
+        if normalize:
+            hv = hv / (float(hv.sum()) or 1.0)
+            av = av / (float(av.sum()) or 1.0)
+        ids = np.asarray(eb_f.node_ids)
+        h_df = spark.createDataFrame(
+            pd.DataFrame({"id": ids, "hubs": hv}), schema="id long, hubs double"
+        )
+        a_df = spark.createDataFrame(
+            pd.DataFrame({"id": ids, "authority": av}),
+            schema="id long, authority double",
+        )
+        return h_df, a_df
+    finally:
+        eb_f.unpersist()
+        eb_r.unpersist()
+
+
 def _segmented_min(dsts: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Dense per-local-dst minimum; absent dsts hold ``_IMAX``.
 

@@ -122,6 +122,49 @@ def test_katz_auto_strategy_threshold(spark):
         assert math.isclose(via_join[k], v, rel_tol=1e-5)
 
 
+def test_eigenvector_kernel_matches_join(spark):
+    from metagraph_spark.operators.centrality import eigenvector_centrality
+    from metagraph_spark.operators.kernel_algos import eigenvector_kernel
+
+    edges = _random_edges(30, 140, seed=5)
+    g = build(df_from_edges(spark, edges), is_directed=False)
+    join = _map(eigenvector_centrality(g, tolerance=1e-7), "eigenvector")
+    kern = _map(eigenvector_kernel(g, tolerance=1e-7), "eigenvector")
+    assert set(join) == set(kern)
+    for k in join:
+        assert math.isclose(join[k], kern[k], rel_tol=1e-6, abs_tol=1e-9), k
+    # fixed-iteration parity (exact superstep schedule)
+    jf = _map(eigenvector_centrality(g, fixed_iterations=4), "eigenvector")
+    kf = _map(eigenvector_kernel(g, fixed_iterations=4), "eigenvector")
+    for k in jf:
+        assert math.isclose(jf[k], kf[k], rel_tol=1e-9, abs_tol=1e-12), k
+
+
+def test_hits_kernel_matches_join(spark):
+    from metagraph_spark.operators.centrality import hits_centrality
+    from metagraph_spark.operators.kernel_algos import hits_kernel
+
+    edges = _random_edges(25, 100, seed=9)
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    jh, ja = hits_centrality(g, tolerance=1e-7)
+    kh, ka = hits_kernel(g, tolerance=1e-7)
+    for jd, kd, col in ((jh, kh, "hubs"), (ja, ka, "authority")):
+        jm, km = _map(jd, col), _map(kd, col)
+        assert set(jm) == set(km)
+        for k in jm:
+            assert math.isclose(jm[k], km[k], rel_tol=1e-6, abs_tol=1e-9), (
+                col, k,
+            )
+    # strategy routing smoke: auto below cap = kernel result
+    vh, _va = hits_centrality(
+        g, tolerance=1e-7, strategy="auto", kernel_max_vertices=100
+    )
+    vm = _map(vh, "hubs")
+    km = _map(kh, "hubs")
+    for k in km:
+        assert math.isclose(vm[k], km[k], rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_cc_kernel_matches_join_converged(spark):
     # three components incl a self-loop node and a 2-cycle
     edges = [(0, 1), (1, 2), (2, 0), (3, 4), (5, 5), (6, 7), (7, 6), (8, 1)]
