@@ -183,6 +183,7 @@ def test_cc_kernel_long_chain_pointer_jumping(spark):
     assert set(kern.values()) == {0}
 
 
+@pytest.mark.slow
 def test_cc_kernel_fixed_rounds_pure_hashmin_parity(spark):
     edges = _random_edges(50, 120, seed=3, weighted=False)
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
@@ -238,6 +239,7 @@ def test_lpa_kernel_matches_join(spark):
     assert join == kern
 
 
+@pytest.mark.slow
 def test_lpa_kernel_fixed_rounds_parity(spark):
     edges = _random_edges(30, 90, seed=21, weighted=False)
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
