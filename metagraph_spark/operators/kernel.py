@@ -586,15 +586,17 @@ class LocalSliceStore:
 
         return os.path.join(self.run_dir, f"r_{iteration:05d}.npy")
 
-    def create_vector(self, iteration: int, n: int) -> None:
-        """Driver: allocate iteration vector (sparse file header only)."""
+    def create_vector(self, iteration: int, n: int, dtype=np.float64) -> None:
+        """Driver: allocate iteration vector (sparse file header only).
+        ``dtype`` defaults to float64 (rank vectors); the CC loop stores
+        int64 label vectors through the same interface."""
         np.lib.format.open_memmap(
-            self._vec_path(iteration), mode="w+", dtype=np.float64, shape=(n,)
+            self._vec_path(iteration), mode="w+", dtype=dtype, shape=(n,)
         ).flush()
 
     def write_full(self, iteration: int, arr: np.ndarray) -> None:
         m = np.lib.format.open_memmap(
-            self._vec_path(iteration), mode="w+", dtype=np.float64,
+            self._vec_path(iteration), mode="w+", dtype=arr.dtype,
             shape=arr.shape,
         )
         m[:] = arr

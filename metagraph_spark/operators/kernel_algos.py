@@ -566,11 +566,160 @@ def lpa_vote_blocks(graph: Graph, spill_dir: str | None = None,
     )
 
 
+def _distributed_cc_loop(
+    eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None
+) -> DataFrame | None:
+    """Hash-min label exchange where the label vector NEVER crosses the
+    driver: int64 label vectors live in the slice store (same protocol as
+    the pagerank/katz distributed loops), each gather task writes its
+    dst-slice minimum and returns a changed-count partial, and converged
+    rounds append ONE pointer-doubling job (``J[lo:hi] = L[L[lo:hi]]`` over
+    the mmap'd global vector) — O(log V) rounds, driver state
+    O(num_blocks). This removes :func:`cc_kernel`'s dense driver label
+    array, so the FAST cc path is capped only by int32 positions, like the
+    file-backed pagerank route. Returns None when block coverage is
+    partial (caller falls back to the feed loop)."""
+    import os
+    import uuid
+
+    n = eb.n
+    rows = [(r["path"], int(r["dst_lo"])) for r in eb.manifest.collect()]
+    nb = len(rows)
+    los = sorted(lo for _, lo in rows)
+    if nb == 0 or los != [_blk_lo(k, n, nb) for k in range(nb)]:
+        return None
+    hi_of = {_blk_lo(k, n, nb): _blk_lo(k + 1, n, nb) for k in range(nb)}
+    store = LocalSliceStore(
+        os.path.join(eb.spill_dir, f"cc_{uuid.uuid4().hex[:12]}")
+    )
+    store.init_run()
+    store.write_full(0, np.arange(n, dtype=np.int64))
+    cur = 0  # index of the newest complete label vector
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    rnd = 0
+    converged = fixed_rounds is not None
+    while rnd < total:
+        prev_idx, out_idx = cur, cur + 1
+        store.create_vector(out_idx, n, dtype=np.int64)
+
+        def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            prev = store.open_read(prev_idx)
+            out_vec = store.open_write(out_idx)
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    srcs, dsts = _open_block(row["path"])
+                    lo = int(row["dst_lo"])
+                    hi = hi_of[lo]
+                    prev_slice = np.asarray(prev[lo:hi])
+                    if len(srcs):
+                        m = _segmented_min(
+                            np.asarray(dsts), np.asarray(prev)[srcs]
+                        )
+                        new_slice = prev_slice.copy()
+                        np.minimum(
+                            new_slice[: len(m)], m, out=new_slice[: len(m)]
+                        )
+                    else:
+                        new_slice = prev_slice
+                    out_vec[lo:hi] = new_slice
+                    yield pd.DataFrame(
+                        {
+                            "dst_lo": [np.int64(lo)],
+                            "changed": [
+                                int((new_slice != prev_slice).sum())
+                            ],
+                        }
+                    )
+            store.flush(out_vec)
+
+        out = eb.manifest.mapInPandas(
+            gather, schema="dst_lo long, changed long"
+        ).toPandas()
+        if set(out["dst_lo"]) != set(hi_of):
+            store.cleanup()
+            raise RuntimeError("distributed cc round lost a slice")
+        changed = int(out["changed"].sum())
+        cur = out_idx
+        rnd += 1
+        if fixed_rounds is None and changed:
+            # one pointer-doubling job per round: J = L[L] slice-wise over
+            # the mmap'd global vector (valid min-label state; fixpoint
+            # unchanged — components.py:96-118 argument)
+            jmp_idx = cur + 1
+            store.create_vector(jmp_idx, n, dtype=np.int64)
+            src_idx = cur
+
+            def jump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                full = store.open_read(src_idx)
+                out_vec = store.open_write(jmp_idx)
+                for pdf in batches:
+                    for _, row in pdf.iterrows():
+                        lo = int(row["dst_lo"])
+                        hi = hi_of[lo]
+                        sl = np.asarray(full[lo:hi])
+                        out_vec[lo:hi] = np.asarray(full)[sl]
+                        yield pd.DataFrame({"dst_lo": [np.int64(lo)]})
+                store.flush(out_vec)
+
+            jout = eb.manifest.mapInPandas(
+                jump, schema="dst_lo long"
+            ).toPandas()
+            if set(jout["dst_lo"]) != set(hi_of):
+                store.cleanup()
+                raise RuntimeError("distributed cc jump lost a slice")
+            cur = jmp_idx
+        # drop everything older than the newest vector
+        for old in range(max(0, cur - 3), cur):
+            store.delete_vector(old)
+        if fixed_rounds is None and changed == 0:
+            converged = True
+            break
+    if fixed_rounds is None and not converged:
+        store.cleanup()
+        raise ConvergenceError(
+            f"connected_components kernel did not stabilize in "
+            f"{max_rounds} rounds"
+        )
+    ids_path = os.path.join(eb.spill_dir, "node_ids.npy")
+    final_idx = cur
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids = np.load(ids_path, mmap_mode="r")
+        lab = store.open_read(final_idx)
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lo = int(row["dst_lo"])
+                hi = hi_of[lo]
+                sl = np.asarray(lab[lo:hi])
+                yield pd.DataFrame(
+                    {
+                        "id": np.asarray(ids[lo:hi]),
+                        "label": np.asarray(ids)[sl],
+                    }
+                )
+
+    from metagraph_spark.state import truncate_lineage
+
+    result = truncate_lineage(
+        eb.manifest.mapInPandas(emit, schema="id long, label long")
+    )
+    store.cleanup()
+    return result
+
+
+# above this vertex count the feed loop's dense driver label array
+# (8 B x V x a few working copies) stops being reasonable; file-backed
+# blocks switch to the distributed loop whose labels live in the slice
+# store (same threshold rationale as pagerank.KERNEL_MAX_VERTICES)
+CC_DRIVER_LABELS_MAX = 50_000_000
+
+
 def cc_kernel(
     graph_or_blocks,
     max_rounds: int = 200,
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
+    driver_labels_max: int = CC_DRIVER_LABELS_MAX,
 ) -> DataFrame:
     """Connected components via CSR blocks. Returns ``(id, label)``,
     label = min node id in the component (exactly the join path's labels).
@@ -585,7 +734,12 @@ def cc_kernel(
     round rather than a per-worker broadcast copy. Converged runs
     pointer-jump the dense positional label array to full compression
     after every round; the ``fixed_rounds`` oracle path is pure
-    hash-min."""
+    hash-min.
+
+    Past ``driver_labels_max`` vertices, file-backed blocks switch to
+    :func:`_distributed_cc_loop` — labels live in the slice store and the
+    driver holds O(num_blocks) state only, so the kernel route has no
+    vertex cap below int32 positions."""
     if isinstance(graph_or_blocks, Graph):
         eb = cc_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
@@ -597,6 +751,10 @@ def cc_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
+        if file_backed and eb.spill_dir and n > driver_labels_max:
+            r_df = _distributed_cc_loop(eb, max_rounds, fixed_rounds)
+            if r_df is not None:
+                return r_df
         publish, release = _vector_feed(spark, eb)
         lab = np.arange(n, dtype=np.int64)
         total = fixed_rounds if fixed_rounds is not None else max_rounds

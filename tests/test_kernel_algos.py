@@ -215,6 +215,42 @@ def test_cc_strategy_routing(spark):
         )
 
 
+def test_cc_distributed_loop_parity(spark, tmp_path):
+    """driver_labels_max=0 forces the slice-store CC loop (labels never on
+    the driver, one pointer-doubling job per round) — exact labels on a
+    multi-component graph, a long chain, and the fixed-round oracle path."""
+    edges = _random_edges(60, 150, seed=29, weighted=False) + [(70, 71)]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    want = _map(connected_components(g), "label")
+    got = _map(
+        cc_kernel(
+            g, spill_dir=str(tmp_path / "dcc"), driver_labels_max=0
+        ),
+        "label",
+    )
+    assert want == got
+    chain = [(i, i + 1) for i in range(60)]
+    gc = build(df_from_edges(spark, chain, weighted=False), is_directed=False)
+    got_c = _map(
+        cc_kernel(
+            gc, spill_dir=str(tmp_path / "dchain"), driver_labels_max=0,
+            max_rounds=20,
+        ),
+        "label",
+    )
+    assert set(got_c.values()) == {0}
+    for k in (1, 3):
+        want_f = _map(connected_components(g, fixed_rounds=k), "label")
+        got_f = _map(
+            cc_kernel(
+                g, spill_dir=str(tmp_path / f"dfix{k}"),
+                driver_labels_max=0, fixed_rounds=k,
+            ),
+            "label",
+        )
+        assert want_f == got_f, f"fixed_rounds={k}"
+
+
 def test_cc_lpa_kernel_file_backed_parity(spark, tmp_path):
     """spill_dir (file-backed blocks + mmap label feed) produces exactly
     the in-memory kernel's labels for both CC and LPA."""
