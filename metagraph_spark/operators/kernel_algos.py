@@ -859,11 +859,103 @@ def _segmented_mode(dsts: np.ndarray, labs: np.ndarray):
     return run_d[seg_starts], run_w[win_idx]
 
 
+def _distributed_lpa_loop(
+    eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None
+) -> DataFrame | None:
+    """LPA rounds with the label vector in the slice store (never on the
+    driver): each task computes its dst-range's modal votes and writes the
+    slice directly — positions without a vote keep their previous label
+    (isolated nodes; with the self-loop vote edges every node in a block's
+    range normally votes). One job per round, driver state O(num_blocks).
+    Returns None when block coverage is partial."""
+    import os
+    import uuid
+
+    n = eb.n
+    rows = [(r["path"], int(r["dst_lo"])) for r in eb.manifest.collect()]
+    nb = len(rows)
+    los = sorted(lo for _, lo in rows)
+    if nb == 0 or los != [_blk_lo(k, n, nb) for k in range(nb)]:
+        return None
+    hi_of = {_blk_lo(k, n, nb): _blk_lo(k + 1, n, nb) for k in range(nb)}
+    store = LocalSliceStore(
+        os.path.join(eb.spill_dir, f"lpa_{uuid.uuid4().hex[:12]}")
+    )
+    store.init_run()
+    store.write_full(0, np.arange(n, dtype=np.int64))
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    cur = 0
+    for rnd in range(total):
+        prev_idx, out_idx = cur, cur + 1
+        store.create_vector(out_idx, n, dtype=np.int64)
+
+        def step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            prev = store.open_read(prev_idx)
+            out_vec = store.open_write(out_idx)
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    srcs, dsts = _open_block(row["path"])
+                    lo = int(row["dst_lo"])
+                    hi = hi_of[lo]
+                    new_slice = np.asarray(prev[lo:hi]).copy()
+                    if len(srcs):
+                        uniq, win = _segmented_mode(
+                            np.asarray(dsts), np.asarray(prev)[srcs]
+                        )
+                        new_slice[uniq] = win
+                    changed = int(
+                        (new_slice != np.asarray(prev[lo:hi])).sum()
+                    )
+                    out_vec[lo:hi] = new_slice
+                    yield pd.DataFrame(
+                        {"dst_lo": [np.int64(lo)], "changed": [changed]}
+                    )
+            store.flush(out_vec)
+
+        out = eb.manifest.mapInPandas(
+            step, schema="dst_lo long, changed long"
+        ).toPandas()
+        if set(out["dst_lo"]) != set(hi_of):
+            store.cleanup()
+            raise RuntimeError("distributed lpa round lost a slice")
+        changed = int(out["changed"].sum())
+        cur = out_idx
+        store.delete_vector(prev_idx)
+        if fixed_rounds is None and changed == 0:
+            break
+    ids_path = os.path.join(eb.spill_dir, "node_ids.npy")
+    final_idx = cur
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids = np.load(ids_path, mmap_mode="r")
+        lab = store.open_read(final_idx)
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lo = int(row["dst_lo"])
+                hi = hi_of[lo]
+                sl = np.asarray(lab[lo:hi])
+                yield pd.DataFrame(
+                    {
+                        "id": np.asarray(ids[lo:hi]),
+                        "label": np.asarray(ids)[sl],
+                    }
+                )
+
+    from metagraph_spark.state import truncate_lineage
+
+    result = truncate_lineage(
+        eb.manifest.mapInPandas(emit, schema="id long, label long")
+    )
+    store.cleanup()
+    return result
+
+
 def lpa_kernel(
     graph_or_blocks,
     max_rounds: int = 50,
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
+    driver_labels_max: int = CC_DRIVER_LABELS_MAX,
 ) -> DataFrame:
     """Deterministic synchronous LPA via CSR blocks. Returns ``(id, label)``
     — exactly ``operators/lpa.py``'s partition AND labels (vote multiset =
@@ -872,7 +964,10 @@ def lpa_kernel(
     capped loop returns the last state rather than raising, matching the
     reference's no-convergence-contract for community detection).
     ``spill_dir`` builds the blocks file-backed — the scale layout (mmap'd
-    gathers, page-cache-shared label feed; see :func:`cc_kernel`)."""
+    gathers, page-cache-shared label feed; see :func:`cc_kernel`). Past
+    ``driver_labels_max`` vertices, file-backed blocks switch to
+    :func:`_distributed_lpa_loop` (labels in the slice store, driver
+    O(num_blocks) — no vertex cap below int32 positions)."""
     if isinstance(graph_or_blocks, Graph):
         eb = lpa_vote_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
@@ -884,6 +979,10 @@ def lpa_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
+        if file_backed and eb.spill_dir and n > driver_labels_max:
+            r_df = _distributed_lpa_loop(eb, max_rounds, fixed_rounds)
+            if r_df is not None:
+                return r_df
         publish, release = _vector_feed(spark, eb)
         # labels are POSITIONS: positions are order-isomorphic to sorted
         # ids, so min-label tie-breaks agree with the join path's id-space

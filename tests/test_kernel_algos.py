@@ -251,6 +251,31 @@ def test_cc_distributed_loop_parity(spark, tmp_path):
         assert want_f == got_f, f"fixed_rounds={k}"
 
 
+def test_lpa_distributed_loop_parity(spark, tmp_path):
+    """driver_labels_max=0 forces the slice-store LPA loop — exact labels
+    vs the join path on converged and fixed-round runs."""
+    edges = _random_edges(40, 110, seed=31, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    want = _map(label_propagation_community(g, max_rounds=30), "label")
+    got = _map(
+        lpa_kernel(
+            g, max_rounds=30, spill_dir=str(tmp_path / "dlpa"),
+            driver_labels_max=0,
+        ),
+        "label",
+    )
+    assert want == got
+    want_f = _map(label_propagation_community(g, fixed_rounds=2), "label")
+    got_f = _map(
+        lpa_kernel(
+            g, fixed_rounds=2, spill_dir=str(tmp_path / "dlpaf"),
+            driver_labels_max=0,
+        ),
+        "label",
+    )
+    assert want_f == got_f
+
+
 def test_cc_lpa_kernel_file_backed_parity(spark, tmp_path):
     """spill_dir (file-backed blocks + mmap label feed) produces exactly
     the in-memory kernel's labels for both CC and LPA."""
