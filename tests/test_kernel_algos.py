@@ -216,15 +216,15 @@ def test_cc_strategy_routing(spark):
 
 
 def test_cc_distributed_loop_parity(spark, tmp_path):
-    """driver_labels_max=0 forces the slice-store CC loop (labels never on
-    the driver, one pointer-doubling job per round) — exact labels on a
+    """File-backed blocks route to the slice-store CC loop (labels never
+    on the driver, one pointer-doubling job per round) — exact labels on a
     multi-component graph, a long chain, and the fixed-round oracle path."""
     edges = _random_edges(60, 150, seed=29, weighted=False) + [(70, 71)]
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
     want = _map(connected_components(g), "label")
     got = _map(
         cc_kernel(
-            g, spill_dir=str(tmp_path / "dcc"), driver_labels_max=0
+            g, spill_dir=str(tmp_path / "dcc")
         ),
         "label",
     )
@@ -233,7 +233,7 @@ def test_cc_distributed_loop_parity(spark, tmp_path):
     gc = build(df_from_edges(spark, chain, weighted=False), is_directed=False)
     got_c = _map(
         cc_kernel(
-            gc, spill_dir=str(tmp_path / "dchain"), driver_labels_max=0,
+            gc, spill_dir=str(tmp_path / "dchain"),
             max_rounds=20,
         ),
         "label",
@@ -244,7 +244,7 @@ def test_cc_distributed_loop_parity(spark, tmp_path):
         got_f = _map(
             cc_kernel(
                 g, spill_dir=str(tmp_path / f"dfix{k}"),
-                driver_labels_max=0, fixed_rounds=k,
+                fixed_rounds=k,
             ),
             "label",
         )
@@ -252,7 +252,7 @@ def test_cc_distributed_loop_parity(spark, tmp_path):
 
 
 def test_lpa_distributed_loop_parity(spark, tmp_path):
-    """driver_labels_max=0 forces the slice-store LPA loop — exact labels
+    """File-backed blocks route to the slice-store LPA loop — exact labels
     vs the join path on converged and fixed-round runs."""
     edges = _random_edges(40, 110, seed=31, weighted=False)
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
@@ -260,7 +260,6 @@ def test_lpa_distributed_loop_parity(spark, tmp_path):
     got = _map(
         lpa_kernel(
             g, max_rounds=30, spill_dir=str(tmp_path / "dlpa"),
-            driver_labels_max=0,
         ),
         "label",
     )
@@ -269,7 +268,6 @@ def test_lpa_distributed_loop_parity(spark, tmp_path):
     got_f = _map(
         lpa_kernel(
             g, fixed_rounds=2, spill_dir=str(tmp_path / "dlpaf"),
-            driver_labels_max=0,
         ),
         "label",
     )
