@@ -68,6 +68,7 @@ def test_katz_kernel_matches_join_weighted(spark):
         assert math.isclose(join[k], kern[k], rel_tol=1e-9, abs_tol=1e-12)
 
 
+@pytest.mark.slow
 def test_katz_kernel_file_backed_weighted(spark, tmp_path):
     """File-backed weighted blocks (.ws.npy) agree with in-memory blocks."""
     edges = _random_edges(30, 120, seed=11)
@@ -215,6 +216,7 @@ def test_cc_strategy_routing(spark):
         )
 
 
+@pytest.mark.slow
 def test_cc_distributed_loop_parity(spark, tmp_path):
     """File-backed blocks route to the slice-store CC loop (labels never
     on the driver, one pointer-doubling job per round) — exact labels on a
