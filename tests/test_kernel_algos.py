@@ -310,6 +310,33 @@ def test_lpa_kernel_fixed_rounds_parity(spark):
         assert join == kern, f"fixed_rounds={k}"
 
 
+def test_degree_free_blocks_guard_and_weight_metadata(spark, tmp_path):
+    """with_degrees=False layouts refuse the degree vector with a clear
+    error (they cannot feed pagerank), and has_weights round-trips through
+    the file-backed metadata."""
+    from metagraph_spark.operators.kernel import load_edge_blocks
+
+    edges = _random_edges(20, 60, seed=41)
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2, with_degrees=False)
+    with pytest.raises(RuntimeError, match="with_degrees=False"):
+        _ = eb.out_deg
+    eb.unpersist()
+    d = str(tmp_path / "wmeta")
+    ebf = build_edge_blocks(
+        g, num_blocks=2, spill_dir=d, with_weights=True, with_degrees=False
+    )
+    ebf.unpersist()
+    reopened = load_edge_blocks(spark, d)
+    assert reopened.has_weights is True
+    assert reopened.n == ebf.n
+    got = _map(katz_kernel(reopened, fixed_iterations=3), "katz")
+    want = _map(katz_kernel(g, fixed_iterations=3), "katz")
+    for k in want:
+        assert math.isclose(want[k], got[k], rel_tol=1e-9, abs_tol=1e-12)
+    reopened.unpersist()
+
+
 def test_lpa_strategy_routing(spark):
     edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
