@@ -1430,18 +1430,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["global_clustering_coefficient"] = _gcc
 
     # -- iterative operators, fixed supersteps (oracle-exact)
+    # strategy="join" PINNED on the fixed-round trio: defaults are now
+    # "auto" (kernel), and pinning keeps the join superstep plans under
+    # driver-oracle coverage alongside the kernel variants
+    # (pagerank_kernel_fixed, modularity_fixed_lpa via auto, and the
+    # converged queries below which route auto->kernel)
     q["pagerank_fixed"] = lambda spark, sf: (
-        pagerank(_copurchase_graph(spark, sf), DAMPING, fixed_iterations=PR_ITERS)
+        pagerank(
+            _copurchase_graph(spark, sf), DAMPING, fixed_iterations=PR_ITERS,
+            strategy="join",
+        )
         .select("id", F.round("rank", 6).alias("rank"))
         .orderBy("id")
     )
     q["connected_components_fixed"] = lambda spark, sf: (
-        connected_components(_copurchase_graph(spark, sf), fixed_rounds=CC_ROUNDS)
-        .orderBy("id")
+        connected_components(
+            _copurchase_graph(spark, sf), fixed_rounds=CC_ROUNDS,
+            strategy="join",
+        ).orderBy("id")
     )
     q["lpa_fixed"] = lambda spark, sf: (
         label_propagation_community(
-            _copurchase_graph(spark, sf), fixed_rounds=LPA_ROUNDS
+            _copurchase_graph(spark, sf), fixed_rounds=LPA_ROUNDS,
+            strategy="join",
         ).orderBy("id")
     )
 
@@ -1546,13 +1557,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _copurchase_graph(spark, sf),
             attenuation_factor=1e-4,
             fixed_iterations=KATZ_ITERS,
+            strategy="join",
         )
         .select("id", F.round("katz", 6).alias("katz"))
         .orderBy("id")
     )
     q["eigenvector"] = lambda spark, sf: (
         eigenvector_centrality(
-            _copurchase_graph(spark, sf), fixed_iterations=EIG_ITERS
+            _copurchase_graph(spark, sf), fixed_iterations=EIG_ITERS,
+            strategy="join",
         )
         .select("id", F.round("eigenvector", 6).alias("eigenvector"))
         .orderBy("id")
@@ -1561,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits_centrality(
             build(_event_type_edges(spark, sf), is_directed=True),
             fixed_iterations=HITS_ITERS,
+            strategy="join",
         )[1]
         .select("id", F.round("authority", 6).alias("authority"))
         .orderBy("id")

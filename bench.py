@@ -98,7 +98,8 @@ def main() -> None:
 
     def _run_pr():
         metrics.clear()
-        pagerank(g_t, maxiter=100, tolerance=1e-6, metrics_sink=metrics).count()
+        pagerank(g_t, maxiter=100, tolerance=1e-6, metrics_sink=metrics,
+                 strategy="join").count()
 
     timed("transcript_pagerank_1e6", _run_pr)
     supersteps = len(metrics)
@@ -141,7 +142,8 @@ def main() -> None:
                 trials=1)
     extras["copurchase_edges"] = g_c.num_edges()
     timed("copurchase_pagerank_1e6",
-          lambda: pagerank(g_c, maxiter=100, tolerance=1e-6).count())
+          lambda: pagerank(g_c, maxiter=100, tolerance=1e-6,
+                           strategy="join").count())
     timed("copurchase_cc", lambda: connected_components(g_c).count())
     timed("copurchase_lpa_10r",
           lambda: label_propagation_community(g_c, fixed_rounds=10).count())
@@ -152,7 +154,8 @@ def main() -> None:
 
     timed("copurchase_katz_100iter",
           lambda: katz_centrality(
-              g_c, attenuation_factor=1e-4, fixed_iterations=100).count(),
+              g_c, attenuation_factor=1e-4, fixed_iterations=100,
+              strategy="join").count(),
           trials=1)  # 100 fixed supersteps: dominated by per-job cost, and
     # 3 trials would triple the longest query for no extra signal
     # CSR/Arrow kernel strategy for the same 100 supersteps (weighted
@@ -203,13 +206,14 @@ def main() -> None:
         extras["big_layout_sec"] = round(time.time() - t0, 3)
         extras["big_edges"] = BIG_EDGES
         extras["big_nodes"] = big_nodes
-        pagerank(g_z, fixed_iterations=1)  # warm superstep (JIT/codegen)
+        pagerank(g_z, fixed_iterations=1, strategy="join")  # warm superstep (JIT/codegen)
         zmetrics: list = []
 
         def _run_big_pr():
             zmetrics.clear()
             pagerank(
-                g_z, fixed_iterations=3, metrics_sink=zmetrics
+                g_z, fixed_iterations=3, metrics_sink=zmetrics,
+                strategy="join",
             ).count()
 
         timed("big_pagerank_join_3iter", _run_big_pr, trials=1)
@@ -218,7 +222,8 @@ def main() -> None:
         )
         timed("big_cc", lambda: connected_components(g_z).count(), trials=1)
         timed("big_lpa_3r",
-              lambda: label_propagation_community(g_z, fixed_rounds=3).count(),
+              lambda: label_propagation_community(
+                  g_z, fixed_rounds=3, strategy="join").count(),
               trials=1)
         # CSR-kernel strategies (operators/kernel_algos.py): file-backed
         # blocks are built ONCE outside the timer (layout seconds reported

@@ -75,7 +75,7 @@ def katz_centrality(
     maxiter: int = 50,
     tolerance: float = 1e-05,
     fixed_iterations: int | None = None,
-    strategy: str = "join",
+    strategy: str = "auto",
     kernel_max_vertices: int | None = None,
     kernel_spill_dir: str | None = None,
 ) -> DataFrame:
@@ -86,13 +86,14 @@ def katz_centrality(
     ``fixed_iterations`` runs exactly k supersteps with no convergence test
     (oracle parity — the DuckDB side unrolls the same k updates).
 
-    ``strategy``: ``"join"`` (default — scales to any V), ``"kernel"``
-    (weighted CSR/Arrow blocks, zero-shuffle supersteps — see
+    ``strategy``: ``"auto"`` (default — kernel when the vertex count fits
+    or a spill dir is given, join otherwise), ``"join"`` (iterative
+    DataFrame joins — scales to any V), or ``"kernel"`` (weighted
+    CSR/Arrow blocks, zero-shuffle supersteps — see
     ``operators/kernel_algos.py:katz_kernel``; dense driver vector capped
     at ``pagerank.KERNEL_MAX_VERTICES`` unless ``kernel_spill_dir`` routes
     to the file-backed slice-store loop whose vectors never touch the
-    driver), or ``"auto"`` (kernel when the vertex count fits or a spill
-    dir is given). Identical update rule, asserted by shared tests."""
+    driver). Identical update rule, asserted by shared tests."""
     if strategy not in ("join", "kernel", "auto"):
         raise ValueError(f"unknown katz strategy {strategy!r}")
     if strategy != "join":
@@ -103,10 +104,15 @@ def katz_centrality(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
+        from metagraph_spark.operators.pagerank import KERNEL_AUTO_MAX_EDGES
+
         if (
             strategy == "kernel"
             or kernel_spill_dir is not None
-            or graph.num_nodes() <= cap
+            or (
+                graph.num_nodes() <= cap
+                and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+            )
         ):
             from metagraph_spark.operators.kernel import build_edge_blocks
             from metagraph_spark.operators.kernel_algos import katz_kernel
@@ -197,7 +203,7 @@ def eigenvector_centrality(
     maxiter: int = 50,
     tolerance: float = 1e-05,
     fixed_iterations: int | None = None,
-    strategy: str = "join",
+    strategy: str = "auto",
     kernel_max_vertices: int | None = None,
 ) -> DataFrame:
     """Returns ``(id, eigenvector)``.
@@ -221,7 +227,12 @@ def eigenvector_centrality(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
-        if strategy == "kernel" or graph.num_nodes() <= cap:
+        from metagraph_spark.operators.pagerank import KERNEL_AUTO_MAX_EDGES
+
+        if strategy == "kernel" or (
+            graph.num_nodes() <= cap
+            and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+        ):
             from metagraph_spark.operators.kernel_algos import (
                 eigenvector_kernel,
             )
@@ -323,7 +334,7 @@ def hits_centrality(
     tolerance: float = 1e-05,
     normalize: bool = True,
     fixed_iterations: int | None = None,
-    strategy: str = "join",
+    strategy: str = "auto",
     kernel_max_vertices: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(hubs, authorities)`` NodeMaps ``(id, hubs)/(id, authority)``.
@@ -349,7 +360,12 @@ def hits_centrality(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
-        if strategy == "kernel" or graph.num_nodes() <= cap:
+        from metagraph_spark.operators.pagerank import KERNEL_AUTO_MAX_EDGES
+
+        if strategy == "kernel" or (
+            graph.num_nodes() <= cap
+            and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+        ):
             from metagraph_spark.operators.kernel_algos import hits_kernel
 
             return hits_kernel(

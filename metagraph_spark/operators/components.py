@@ -38,6 +38,14 @@ from metagraph_spark.exceptions import ConvergenceError
 from metagraph_spark.graph import DST, ID, SRC, Graph
 from metagraph_spark.state import CheckpointManager, truncate_lineage
 
+# Converged-join-path routing threshold: below this edge count the
+# hash-min + pointer-jump loop (ONE |E|-row join + groupBy per round) beats
+# two-phase large-star/small-star, whose ~4 shuffles + 2 distincts per
+# round only pay off once the shrinking edge set dominates (measured:
+# two-phase cost transcript_cc 4.1->7.3s / copurchase_cc 3.4->5.5s at
+# sub-1M edges while winning 4x at 100M edges — BENCH r3 vs r4).
+TWO_PHASE_MIN_EDGES = 5_000_000
+
 
 def _min_label_fixpoint(
     spark,
@@ -227,7 +235,7 @@ def connected_components(
     max_rounds: int = 200,
     fixed_rounds: int | None = None,
     checkpointer: CheckpointManager | None = None,
-    strategy: str = "join",
+    strategy: str = "auto",
     kernel_max_vertices: int | None = None,
     kernel_spill_dir: str | None = None,
 ) -> DataFrame:
@@ -236,11 +244,14 @@ def connected_components(
     (matches nx ``connected_components`` requiring undirected,
     ``plugins/networkx/algorithms.py:61-67``).
 
-    Physical strategy: the converged path runs alternating large-star /
-    small-star rounds (:func:`_two_phase_cc` — O(log V) rounds on a
-    SHRINKING edge set). ``fixed_rounds`` (the unrolled-SQL oracle
-    contract) and checkpointed runs keep the hash-min label exchange,
-    whose per-round vertex state is what the resume protocol snapshots.
+    Physical strategy: the converged join path is SIZE-ROUTED — above
+    ``TWO_PHASE_MIN_EDGES`` it runs alternating large-star / small-star
+    rounds (:func:`_two_phase_cc` — O(log V) rounds on a SHRINKING edge
+    set); below it the hash-min + pointer-jump loop wins (one |E|-row
+    join per round vs two-phase's ~4 shuffles + 2 distincts).
+    ``fixed_rounds`` (the unrolled-SQL oracle contract) and checkpointed
+    runs always keep the hash-min label exchange, whose per-round vertex
+    state is what the resume protocol snapshots.
 
     ``strategy="kernel"``/``"auto"`` routes to the CSR-block hash-min
     kernel (``operators/kernel_algos.py:cc_kernel`` — segmented-min
@@ -263,10 +274,15 @@ def connected_components(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
+        from metagraph_spark.operators.pagerank import KERNEL_AUTO_MAX_EDGES
+
         if (
             strategy == "kernel"
             or kernel_spill_dir is not None
-            or graph.num_nodes() <= cap
+            or (
+                graph.num_nodes() <= cap
+                and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+            )
         ):
             from metagraph_spark.operators.kernel_algos import cc_kernel
 
@@ -277,7 +293,13 @@ def connected_components(
                 spill_dir=kernel_spill_dir,
             )
     spark = graph.edges.sparkSession
-    if fixed_rounds is None and checkpointer is None:
+    if (
+        fixed_rounds is None
+        and checkpointer is None
+        and graph.num_edges() >= TWO_PHASE_MIN_EDGES
+    ):
+        # size-routed: two-phase only where its shrinking edge set wins;
+        # smaller converged graphs fall through to hash-min + pointer jump
         return _two_phase_cc(
             spark,
             graph.edges.select(SRC, DST),

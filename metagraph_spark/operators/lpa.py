@@ -40,7 +40,7 @@ def label_propagation_community(
     max_rounds: int = 50,
     fixed_rounds: int | None = None,
     checkpointer: CheckpointManager | None = None,
-    strategy: str = "join",
+    strategy: str = "auto",
     kernel_max_vertices: int | None = None,
     kernel_spill_dir: str | None = None,
 ) -> DataFrame:
@@ -51,7 +51,7 @@ def label_propagation_community(
     — equivalently ``min(struct(neg_count, label))`` — so each round is one
     aggregation, no window sort.
 
-    ``strategy="kernel"``/``"auto"`` routes to the CSR-block vote kernel
+    ``strategy="kernel"``/``"auto"`` (default) routes to the CSR-block vote kernel
     (``operators/kernel_algos.py:lpa_kernel`` — lexsorted run-length vote
     counting, segmented argmax; EXACTLY the same labels, capped at
     ``pagerank.KERNEL_MAX_VERTICES`` for ``"auto"``). The kernel keeps no
@@ -72,10 +72,15 @@ def label_propagation_community(
             if kernel_max_vertices is not None
             else KERNEL_MAX_VERTICES
         )
+        from metagraph_spark.operators.pagerank import KERNEL_AUTO_MAX_EDGES
+
         if (
             strategy == "kernel"
             or kernel_spill_dir is not None
-            or graph.num_nodes() <= cap
+            or (
+                graph.num_nodes() <= cap
+                and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+            )
         ):
             from metagraph_spark.operators.kernel_algos import lpa_kernel
 

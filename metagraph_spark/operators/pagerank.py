@@ -62,6 +62,16 @@ _STATE_COLS = ("id", "outdeg", "dangling", "rank", "prev")
 # file-backed route's hard cap is int32 positions (V < 2^31).
 KERNEL_MAX_VERTICES = 50_000_000
 
+# "auto" additionally caps the EDGE count: the kernel pays a one-time
+# layout (full |E| shuffle + per-block pack — measured 131.9 s at 100M
+# edges, BENCH_r04 extras.big_cc_kernel_layout_sec) that a single
+# converged run cannot amortize at large |E|, while the join path starts
+# iterating immediately on the src-partitioned edge cache. Callers who DO
+# amortize the layout across runs prebuild blocks (build_edge_blocks /
+# cc_blocks + the kernel entrypoints) or pass kernel_spill_dir, both of
+# which bypass this cap.
+KERNEL_AUTO_MAX_EDGES = 20_000_000
+
 
 def pagerank(
     graph: Graph,
@@ -71,7 +81,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     checkpointer: CheckpointManager | None = None,
     metrics_sink: list | None = None,
-    strategy: str = "join",
+    strategy: str = "auto",
     kernel_max_vertices: int = KERNEL_MAX_VERTICES,
     kernel_spill_dir: str | None = None,
     copartition_state: bool = False,
@@ -98,16 +108,17 @@ def pagerank(
     exchange itself dominates (cross-rack shuffle fabric, very wide vertex
     state).
 
-    ``strategy``: ``"join"`` (default — scales to any V), ``"kernel"``
-    (CSR/Arrow zero-shuffle supersteps; dense driver rank vector capped at
-    ``kernel_max_vertices`` UNLESS ``kernel_spill_dir`` is given, which
-    switches to the file-backed layout whose vectors live on the shared
-    filesystem and never touch the driver — V capped only by int32
-    positions), or ``"auto"`` — kernel when the vertex count fits (or a
-    spill dir is given) and no checkpointer is requested (the kernel keeps
-    no durable per-superstep state), join otherwise. Both strategies
-    implement the identical update rule and are asserted equal by shared
-    golden tests."""
+    ``strategy``: ``"auto"`` (default — kernel when the vertex count fits
+    or a spill dir is given and no checkpointer is requested, join
+    otherwise; the kernels measure 2.6-7x faster and parity is asserted
+    across fixed/converged/file-backed modes), ``"join"`` (iterative
+    DataFrame joins — scales to any V, the only checkpointable strategy),
+    or ``"kernel"`` (CSR/Arrow zero-shuffle supersteps; dense driver rank
+    vector capped at ``kernel_max_vertices`` UNLESS ``kernel_spill_dir``
+    is given, which switches to the file-backed layout whose vectors live
+    on the shared filesystem and never touch the driver — V capped only
+    by int32 positions). Both strategies implement the identical update
+    rule and are asserted equal by shared golden tests."""
     if strategy not in ("join", "kernel", "auto"):
         raise ValueError(f"unknown pagerank strategy {strategy!r}")
     if strategy == "kernel" and checkpointer is not None:
@@ -123,7 +134,10 @@ def pagerank(
             checkpointer is None
             and (
                 kernel_spill_dir is not None
-                or graph.num_nodes() <= kernel_max_vertices
+                or (
+                    graph.num_nodes() <= kernel_max_vertices
+                    and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+                )
             )
         )
         if use_kernel:
