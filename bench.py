@@ -229,16 +229,24 @@ def main() -> None:
         # blocks are built ONCE outside the timer (layout seconds reported
         # in extras — the same build-once-iterate-many protocol as the
         # transcript kernel entry); the walls measure the rounds
-        from metagraph_spark.operators.kernel_algos import cc_blocks, cc_kernel
+        from metagraph_spark.operators.kernel_algos import (
+            cc_kernel,
+            label_blocks,
+            lpa_kernel,
+        )
 
+        # ONE shared layout (canonical symmetrized, degree-free) feeds
+        # BOTH label kernels — LPA's self-votes are synthesized per block
+        # at read time, so the ~190s second vote-layout pass is gone
         t0 = time.time()
-        eb_cc = cc_blocks(g_z, spill_dir=tempfile.mkdtemp(prefix="mgspark_ccb_"))
-        extras["big_cc_kernel_layout_sec"] = round(time.time() - t0, 3)
-        timed("big_cc_kernel", lambda: cc_kernel(eb_cc).count(), trials=1)
-        eb_cc.unpersist()
-        # big LPA kernel measured out-of-band (BENCH/BASELINE.md): its vote
-        # layout costs another ~190s layout pass per bench run for a rounds
-        # number the CC entry already evidences (same feed/gather path)
+        eb_sh = label_blocks(
+            g_z, spill_dir=tempfile.mkdtemp(prefix="mgspark_lblb_")
+        )
+        extras["big_shared_layout_sec"] = round(time.time() - t0, 3)
+        timed("big_cc_kernel", lambda: cc_kernel(eb_sh).count(), trials=1)
+        timed("big_lpa_3r_kernel",
+              lambda: lpa_kernel(eb_sh, fixed_rounds=3).count(), trials=1)
+        eb_sh.unpersist()
         g_z.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
 

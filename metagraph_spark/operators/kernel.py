@@ -96,7 +96,8 @@ class EdgeBlocks:
                  out_deg: np.ndarray | None = None,
                  manifest: DataFrame | None = None,
                  spill_dir: str | None = None, n: int | None = None,
-                 n_dangling: int | None = None, has_weights: bool = False):
+                 n_dangling: int | None = None, has_weights: bool = False,
+                 self_votes_baked: bool = False):
         self.blocks = blocks_df
         self._node_ids = node_ids     # sorted original ids, position = index
         self._out_deg = out_deg       # out-degree per position
@@ -105,6 +106,10 @@ class EdgeBlocks:
         self.spill_dir = spill_dir    # set when file-backed
         self.n_dangling = n_dangling  # zero-out-degree count (file layout)
         self.has_weights = has_weights  # blocks carry a per-edge ws array
+        # True when the edge arrays already contain one self-loop row per
+        # node (legacy lpa_vote_blocks layouts): the LPA kernels then skip
+        # their synthetic per-block self-vote suffix to avoid double votes
+        self.self_votes_baked = self_votes_baked
 
     @property
     def node_ids(self) -> np.ndarray:
@@ -248,6 +253,7 @@ def build_edge_blocks(
     edges: DataFrame | None = None,
     with_weights: bool = False,
     with_degrees: bool = True,
+    self_votes_baked: bool = False,
 ) -> EdgeBlocks:
     """One-time layout step (a few shuffles total, then cached).
 
@@ -381,6 +387,7 @@ def build_edge_blocks(
             n=n,
             n_dangling=n_dangling,
             has_weights=with_weights,
+            self_votes_baked=self_votes_baked,
         )
         _save_metadata(eb, spill_dir)
         return eb
@@ -445,7 +452,8 @@ def build_edge_blocks(
     # unpersist (not destroy): the cached blocks' lineage references the
     # broadcast; a cache-miss recomputation must be able to re-fetch it
     bc_ids.unpersist()
-    return EdgeBlocks(blocks, node_ids, out_deg, has_weights=with_weights)
+    return EdgeBlocks(blocks, node_ids, out_deg, has_weights=with_weights,
+                      self_votes_baked=self_votes_baked)
 
 
 def _save_metadata(eb: EdgeBlocks, spill_dir: str) -> None:
@@ -461,6 +469,7 @@ def _save_metadata(eb: EdgeBlocks, spill_dir: str) -> None:
                 "n": eb.n,
                 "n_dangling": eb.n_dangling,
                 "has_weights": eb.has_weights,
+                "self_votes_baked": eb.self_votes_baked,
             },
             f,
         )
@@ -480,11 +489,13 @@ def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
         rows = json.load(f)
     meta_path = os.path.join(spill_dir, "meta.json")
     has_weights = False
+    self_votes_baked = False
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         n, n_dangling = int(meta["n"]), meta["n_dangling"]
         has_weights = bool(meta.get("has_weights", False))
+        self_votes_baked = bool(meta.get("self_votes_baked", False))
     else:  # pre-round-4 layout dirs
         n = int(
             np.load(os.path.join(spill_dir, "node_ids.npy"), mmap_mode="r").shape[0]
@@ -495,7 +506,8 @@ def load_edge_blocks(spark, spill_dir: str) -> EdgeBlocks:
     ).persist()
     manifest.count()
     return EdgeBlocks(None, manifest=manifest, spill_dir=spill_dir, n=n,
-                      n_dangling=n_dangling, has_weights=has_weights)
+                      n_dangling=n_dangling, has_weights=has_weights,
+                      self_votes_baked=self_votes_baked)
 
 
 class LocalSliceStore:

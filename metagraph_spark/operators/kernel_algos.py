@@ -549,10 +549,35 @@ def cc_blocks(graph: Graph, spill_dir: str | None = None,
     )
 
 
+def label_blocks(graph: Graph, spill_dir: str | None = None,
+                 num_blocks: int | None = None) -> EdgeBlocks:
+    """ONE shared layout for :func:`cc_kernel` AND :func:`lpa_kernel`:
+    canonical undirected edges in both directions (deduplicated, no
+    self-loops), degree-free. CC is invariant to the dedup (min over a
+    multiset ignores multiplicity); LPA REQUIRES it (vote counts are
+    multiplicities) plus exactly one self-vote per node, which the LPA
+    kernels synthesize per block at read time (``self_votes_baked=False``)
+    instead of materializing V extra edge rows in a second full layout —
+    at 100M edges the separate vote layout cost ~190 s on top of the CC
+    layout for nearly the same symmetrized edge set (VERDICT r4 #5).
+    Build once, feed both kernels."""
+    sym = Graph(
+        edges=graph.canonical_undirected_edges().select(SRC, DST),
+        is_directed=False,
+    ).symmetrized()
+    return build_edge_blocks(
+        graph, num_blocks=num_blocks, spill_dir=spill_dir,
+        edges=sym, with_degrees=False,
+    )
+
+
 def lpa_vote_blocks(graph: Graph, spill_dir: str | None = None,
                     num_blocks: int | None = None) -> EdgeBlocks:
-    """Prebuild :func:`lpa_kernel` blocks: canonical undirected edges both
-    directions PLUS one self-loop per node (the self-vote), degree-free."""
+    """Legacy LPA layout: canonical undirected edges both directions PLUS
+    one baked self-loop row per node (the self-vote), degree-free. The LPA
+    kernels detect ``self_votes_baked=True`` and skip their synthetic
+    self-vote suffix. Prefer :func:`label_blocks` (shared with CC, no
+    second layout pass) for new callers."""
     sym = Graph(
         edges=graph.canonical_undirected_edges().select(SRC, DST),
         is_directed=False,
@@ -562,7 +587,7 @@ def lpa_vote_blocks(graph: Graph, spill_dir: str | None = None,
     )
     return build_edge_blocks(
         graph, num_blocks=num_blocks, spill_dir=spill_dir,
-        edges=votes_edges, with_degrees=False,
+        edges=votes_edges, with_degrees=False, self_votes_baked=True,
     )
 
 
@@ -883,6 +908,8 @@ def _distributed_lpa_loop(
         prev_idx, out_idx = cur, cur + 1
         store.create_vector(out_idx, n, dtype=np.int64)
 
+        baked = eb.self_votes_baked
+
         def step(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             prev = store.open_read(prev_idx)
             out_vec = store.open_write(out_idx)
@@ -891,14 +918,28 @@ def _distributed_lpa_loop(
                     srcs, dsts = _open_block(row["path"])
                     lo = int(row["dst_lo"])
                     hi = hi_of[lo]
-                    new_slice = np.asarray(prev[lo:hi]).copy()
+                    prev_slice = np.asarray(prev[lo:hi])
+                    new_slice = prev_slice.copy()
                     if len(srcs):
-                        uniq, win = _segmented_mode(
-                            np.asarray(dsts), np.asarray(prev)[srcs]
-                        )
+                        dsts = np.asarray(dsts, dtype=np.int64)
+                        labs = np.asarray(prev)[srcs]
+                        if not baked:
+                            # synthetic self-vote suffix: one (p, prev[p])
+                            # vote per position in this block's range —
+                            # exactly the baked self-loop rows' votes,
+                            # without a second layout pass. A self-vote
+                            # alone never changes a label (mode of
+                            # {prev[p]} = prev[p]), so ranges with no
+                            # neighbor votes stay no-ops either way.
+                            width = hi - lo
+                            dsts = np.concatenate(
+                                [dsts, np.arange(width, dtype=np.int64)]
+                            )
+                            labs = np.concatenate([labs, prev_slice])
+                        uniq, win = _segmented_mode(dsts, labs)
                         new_slice[uniq] = win
                     changed = int(
-                        (new_slice != np.asarray(prev[lo:hi])).sum()
+                        (new_slice != prev_slice).sum()
                     )
                     out_vec[lo:hi] = new_slice
                     yield pd.DataFrame(
@@ -955,8 +996,13 @@ def lpa_kernel(
     canonical undirected edges both directions + one self-vote; winner =
     max count then min label; stop on no change or ``max_rounds``; the
     capped loop returns the last state rather than raising, matching the
-    reference's no-convergence-contract for community detection).
-    ``spill_dir`` builds the blocks file-backed — the scale layout. File-
+    reference's no-convergence-contract for community detection). A Graph
+    argument builds the SHARED :func:`label_blocks` layout (also valid
+    for :func:`cc_kernel`); the self-votes are synthesized per block at
+    read time, so no second layout pass. Prebuilt blocks may be either
+    :func:`label_blocks` or legacy :func:`lpa_vote_blocks`
+    (``self_votes_baked`` disambiguates). ``spill_dir`` builds the blocks
+    file-backed — the scale layout. File-
     backed blocks run :func:`_distributed_lpa_loop` (labels in the slice
     store, driver O(num_blocks) — no vertex cap below int32 positions, and
     measured 2.4x FASTER than the driver-assembled feed loop at 100M
@@ -964,7 +1010,7 @@ def lpa_kernel(
     one scalar instead of shipping per-block winner arrays through Arrow
     every round); the feed loop remains the in-memory-blocks path."""
     if isinstance(graph_or_blocks, Graph):
-        eb = lpa_vote_blocks(graph_or_blocks, spill_dir=spill_dir)
+        eb = label_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
     else:
         eb, owned, spark = _resolve_blocks(graph_or_blocks)
@@ -987,14 +1033,30 @@ def lpa_kernel(
         for _ in range(total):
             handle = publish(lab)
 
+            baked = eb.self_votes_baked
+
             def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 cur = _feed_value(handle)
                 for pdf in batches:
                     for _, row in pdf.iterrows():
                         srcs, dsts, _ = _block_arrays(row, file_backed, False)
-                        uniq, win = _segmented_mode(
-                            np.asarray(dsts), cur[srcs]
-                        )
+                        if len(srcs) == 0:
+                            continue
+                        dsts = np.asarray(dsts, dtype=np.int64)
+                        labs = np.asarray(cur)[srcs]
+                        if not baked:
+                            # synthetic self-vote suffix over the voted
+                            # span (positions past max(dsts) have no
+                            # neighbor votes; a lone self-vote is a no-op)
+                            lo = int(row["dst_lo"])
+                            width = int(dsts.max()) + 1
+                            dsts = np.concatenate(
+                                [dsts, np.arange(width, dtype=np.int64)]
+                            )
+                            labs = np.concatenate(
+                                [labs, np.asarray(cur)[lo : lo + width]]
+                            )
+                        uniq, win = _segmented_mode(dsts, labs)
                         yield pd.DataFrame(
                             {
                                 "dst_lo": [np.int64(row["dst_lo"])],

@@ -337,6 +337,50 @@ def test_degree_free_blocks_guard_and_weight_metadata(spark, tmp_path):
     reopened.unpersist()
 
 
+def test_shared_label_blocks_feed_cc_and_lpa(spark, tmp_path):
+    """ONE label_blocks layout (canonical symmetrized, no baked
+    self-votes) feeds both cc_kernel and lpa_kernel with exact join-path
+    parity — file-backed and in-memory — and the legacy baked
+    lpa_vote_blocks layout still agrees (self_votes_baked gates the
+    synthetic suffix, so votes are never doubled)."""
+    from metagraph_spark.operators.kernel_algos import (
+        label_blocks,
+        lpa_vote_blocks,
+    )
+
+    # include duplicate input edges: CC ignores multiplicity, LPA must
+    # (the canonical layout dedups them)
+    edges = _random_edges(40, 120, seed=53, weighted=False)
+    edges = edges + edges[:25]
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
+    want_cc = _map(connected_components(g, strategy="join"), "label")
+    want_lpa = _map(
+        label_propagation_community(g, fixed_rounds=3, strategy="join"),
+        "label",
+    )
+    for name, shared in (
+        ("mem", label_blocks(g)),
+        ("file", label_blocks(g, spill_dir=str(tmp_path / "shared"))),
+    ):
+        assert shared.self_votes_baked is False
+        got_cc = _map(cc_kernel(shared), "label")
+        got_lpa = _map(lpa_kernel(shared, fixed_rounds=3), "label")
+        assert want_cc == got_cc, name
+        assert want_lpa == got_lpa, name
+        shared.unpersist()
+    baked = lpa_vote_blocks(g, spill_dir=str(tmp_path / "baked"))
+    assert baked.self_votes_baked is True
+    assert want_lpa == _map(lpa_kernel(baked, fixed_rounds=3), "label")
+    baked.unpersist()
+    # baked flag round-trips through the on-disk metadata
+    from metagraph_spark.operators.kernel import load_edge_blocks
+
+    reopened = load_edge_blocks(spark, str(tmp_path / "baked"))
+    assert reopened.self_votes_baked is True
+    assert want_lpa == _map(lpa_kernel(reopened, fixed_rounds=3), "label")
+    reopened.unpersist()
+
+
 def test_lpa_strategy_routing(spark):
     edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
     g = build(df_from_edges(spark, edges, weighted=False), is_directed=False)
