@@ -144,6 +144,55 @@ class EdgeBlocks:
             self.manifest.unpersist()
 
 
+_SHARED_FS_PROBED: dict = {}
+
+
+def shared_fs_available(spark, probe_dir: str) -> bool:
+    """True when executors and the driver see the same filesystem at
+    ``probe_dir`` — the contract the file-backed kernels and
+    :class:`LocalSliceStore` rely on (local mode, NFS/Lustre).
+
+    ``local[*]`` masters short-circuit to True. Otherwise ONE task writes
+    a token file under ``probe_dir`` and the driver checks it exists —
+    an up-front, cheap validation instead of a mid-run mmap failure (or
+    worse, a silent read of a stale same-named worker-local file). The
+    verdict is cached per (session, probe_dir)."""
+    import os
+    import uuid
+
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        return True
+    key = (id(spark), probe_dir)
+    cached = _SHARED_FS_PROBED.get(key)
+    if cached is not None:
+        return cached
+    token = os.path.join(probe_dir, f"_fsprobe_{uuid.uuid4().hex}")
+
+    def write_token(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            pass
+        with open(token, "w") as f:
+            f.write("ok")
+        yield pd.DataFrame({"ok": [1]})
+
+    try:
+        os.makedirs(probe_dir, exist_ok=True)
+        spark.range(1).repartition(1).mapInPandas(
+            write_token, schema="ok int"
+        ).count()
+        ok = os.path.exists(token)
+    except Exception:  # probe failure == not shared
+        ok = False
+    finally:
+        try:
+            os.unlink(token)
+        except OSError:
+            pass
+    _SHARED_FS_PROBED[key] = ok
+    return ok
+
+
 def _blk_lo(k: int, n: int, nb: int) -> int:
     """First position of dst/src range ``k``: positions are assigned to
     blocks by ``pos * nb // n``, whose exact inverse range is
@@ -297,6 +346,18 @@ def build_edge_blocks(
 
     if spill_dir is not None:
         os.makedirs(spill_dir, exist_ok=True)
+        if not shared_fs_available(spark, spill_dir):
+            # fail FAST at layout time: every later phase (task-side block
+            # mmaps, slice-store vectors) assumes this path is one shared
+            # filesystem; without it the run would die mid-loop or read
+            # stale same-named worker-local files
+            raise RuntimeError(
+                f"spill_dir {spill_dir!r} is not on a filesystem shared "
+                "between the driver and executors (probe token not "
+                "visible); file-backed layouts require a shared FS "
+                "(local mode, NFS/Lustre) — use in-memory blocks or a "
+                "custom slice store"
+            )
         n = graph.node_ids().count()
         # more blocks than vertices would produce empty/duplicate ranges
         nb = max(1, min(nb, n))

@@ -100,6 +100,43 @@ def test_triangle_count_duplicate_and_selfloop_robust(spark):
     assert triangle_count(g) == 5
 
 
+def test_triangle_count_join_strategy_golden(spark):
+    # the kernel is the auto default; keep the join plan's golden pinned
+    g = build(df_from_edges(spark, TRI_EDGES), is_directed=False)
+    assert triangle_count(g, strategy="join") == 5
+    assert triangle_count(g, strategy="kernel") == 5
+
+
+def test_triangle_kernel_join_parity_random(spark, tmp_path):
+    """Sorted-key kernel == three-way-join count on random graphs (with
+    duplicate edges, reversed duplicates, and self-loops mixed in), both
+    owned-temp and explicit spill_dir key files."""
+    import random
+
+    for seed, nv, ne in ((7, 25, 80), (23, 60, 240), (41, 12, 60)):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(nv), rng.randrange(nv), 1.0) for _ in range(ne)
+        ]
+        edges += [(d, s, w) for s, d, w in edges[: ne // 5]]  # rev dups
+        edges += [(i, i, 1.0) for i in range(0, nv, 5)]  # self-loops
+        g = build(df_from_edges(spark, edges), is_directed=False)
+        want = triangle_count(g, strategy="join")
+        assert triangle_count(g, strategy="kernel") == want, seed
+        from metagraph_spark.operators.tri_kernel import (
+            triangle_count_kernel,
+        )
+
+        got_dir = triangle_count_kernel(
+            g, spill_dir=str(tmp_path / f"trik{seed}")
+        )
+        assert got_dir == want, seed
+        # tiny chunk budget exercises the wedge-chunking path
+        assert (
+            triangle_count_kernel(g, chunk_pairs=8) == want
+        ), f"chunked seed={seed}"
+
+
 def test_triangles_per_node(spark):
     g = build(df_from_edges(spark, TRI_EDGES), is_directed=False)
     got = {r["id"]: r["triangles"] for r in triangles_per_node(g).collect()}
