@@ -767,6 +767,279 @@ def _betweenness_distributed(
     return out
 
 
+def _betweenness_distributed_weighted(
+    graph: Graph,
+    nodes: Optional[DataFrame],
+    normalize: bool,
+    batch_size: int = 32,
+    max_sources: int = 4096,
+) -> DataFrame:
+    """Distributed WEIGHTED subset-Brandes (nx
+    ``betweenness_centrality_subset`` with ``weight="weight"``, reference
+    ``plugins/networkx/algorithms.py:158-173``) — no broadcast adjacency,
+    no O(V) driver state. The weighted analog of
+    :func:`_betweenness_distributed`, for weighted graphs past the
+    broadcast-CSR guard.
+
+    Per source batch, three phases, each one-job-per-round:
+
+    1. **Distances** — multi-source Bellman-Ford carrying
+       ``(root, id, dist)`` (the ``_multi_source_distances`` recurrence,
+       inlined over the batch-shared persisted edge layout).
+    2. **DAG levels + path counts** — the shortest-path DAG is IMPLICIT:
+       edge u→w is a DAG edge iff ``dist[u] + w(u,w) == dist[w]`` (exact
+       float equality, the same comparison networkx's Dijkstra uses when
+       merging equal-distance paths — both engines therefore agree
+       wherever weight sums round identically, e.g. integer-valued
+       weights). ``sigma``/``level`` settle by fixpoint recompute:
+       ``sigma(v) = Σ sigma(u)``, ``level(v) = max(level(u)) + 1`` over
+       DAG in-edges — DAG-depth rounds, change count observed on the
+       materialization.
+    3. **Backward sweeps by LEVEL** (longest-path layering — a
+       topological order; weighted DAG edges can SKIP levels, so pending
+       dependency mass lives in a ``(root, id, delta)`` table consumed
+       when its node's level is reached, rather than the BFS variant's
+       single next-depth delta).
+
+    ``max_sources`` refuses exact all-sources runs loudly, as in the
+    unweighted path."""
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if graph.has_negative_weights():
+        raise GraphPropertyError(
+            "betweenness requires non-negative weights"
+        )
+    edges = (
+        _weighted_edges(graph)
+        .groupBy(SRC, DST)
+        .agg(F.min(WEIGHT).alias(WEIGHT))  # parallel edges: shortest wins
+        .repartition(n_part, SRC)
+        .persist()
+    )
+    redges = edges.select(
+        F.col(SRC).alias("_u"), F.col(DST).alias("_w"), F.col(WEIGHT).alias("_ew")
+    ).repartition(n_part, "_w").persist()
+    node_ids = graph.node_ids()
+    sources = (
+        nodes.select(ID).distinct() if nodes is not None else node_ids
+    ).persist()
+    n_src = sources.count()
+    if n_src > max_sources:
+        sources.unpersist()
+        edges.unpersist()
+        redges.unpersist()
+        raise GraphPropertyError(
+            f"distributed betweenness over {n_src} sources would run "
+            f"{n_src} relaxation passes; sample sources (<= max_sources="
+            f"{max_sources})"
+        )
+    if nodes is not None:
+        n_valid = sources.join(node_ids, ID, "left_semi").count()
+        if n_valid != n_src:
+            missing = (
+                sources.join(node_ids, ID, "left_anti").limit(10).collect()
+            )
+            sources.unpersist()
+            edges.unpersist()
+            redges.unpersist()
+            raise GraphPropertyError(
+                f"betweenness sources not in graph: "
+                f"{[r[ID] for r in missing]}"
+            )
+    targets = sources.select(ID, F.lit(True).alias("_t"))
+    n_batches = max(1, -(-n_src // batch_size))
+    acc: DataFrame | None = None
+    for bno in range(n_batches):
+        batch = sources.filter(
+            F.pmod(F.xxhash64(F.col(ID)), F.lit(n_batches)) == bno
+        )
+        # -- phase 1: weighted distances (Bellman-Ford to fixpoint)
+        dist = truncate_lineage(
+            batch.select(
+                F.col(ID).alias("root"), F.col(ID), F.lit(0.0).alias("dist")
+            )
+        )
+        for _ in range(graph.num_nodes() + 1):
+            cand = (
+                edges.join(
+                    dist.select(
+                        "root", F.col(ID).alias(SRC), F.col("dist").alias("_d")
+                    ),
+                    SRC,
+                )
+                .select(
+                    "root",
+                    F.col(DST).alias(ID),
+                    (F.col("_d") + F.col(WEIGHT)).alias("dist"),
+                )
+            )
+            merged = (
+                dist.unionAll(cand)
+                .groupBy("root", ID)
+                .agg(F.min("dist").alias("dist"))
+            )
+            obs = Observation(f"bcw_bf_{bno}_{_}")
+            merged = merged.join(
+                dist.select("root", ID, F.col("dist").alias("_old")),
+                ["root", ID],
+                "left",
+            ).select(
+                "root", ID, "dist",
+                (F.col("_old").isNull() | (F.col("dist") < F.col("_old"))).alias("_ch"),
+            ).observe(obs, F.count(F.when(F.col("_ch"), 1)).alias("n"))
+            merged = truncate_lineage(merged.drop("_ch"))
+            improved = obs.get["n"]
+            dist.unpersist()
+            dist = merged
+            if improved == 0:
+                break
+        else:
+            raise ConvergenceError("weighted betweenness relaxation did not settle")
+        # -- phase 2: implicit DAG + (level, sigma) fixpoint
+        dag = (
+            redges.alias("e")
+            .join(
+                dist.select("root", F.col(ID).alias("_u"), F.col("dist").alias("_du")),
+                "_u",
+            )
+            .join(
+                dist.select("root", F.col(ID).alias("_w"), F.col("dist").alias("_dw")),
+                ["root", "_w"],
+            )
+            .filter(F.col("_du") + F.col("_ew") == F.col("_dw"))
+            .select("root", "_u", "_w")
+        )
+        dag = truncate_lineage(dag.repartition(n_part, "root", "_u")).persist()
+        roots = batch.select(
+            F.col(ID).alias("root"), F.col(ID),
+            F.lit(0).alias("lvl"), F.lit(1.0).alias("sigma"),
+        )
+        st = truncate_lineage(roots)
+        for _ in range(graph.num_nodes() + 1):
+            prop = (
+                dag.join(
+                    st.select("root", F.col(ID).alias("_u"), "lvl", "sigma"),
+                    ["root", "_u"],
+                )
+                .groupBy("root", F.col("_w").alias(ID))
+                .agg(
+                    (F.max("lvl") + 1).alias("lvl"),
+                    F.sum("sigma").alias("sigma"),
+                )
+            )
+            new_st = truncate_lineage(roots.unionAll(prop))
+            obs = Observation(f"bcw_sig_{bno}_{_}")
+            chk = (
+                new_st.join(
+                    st.select(
+                        "root", ID,
+                        F.col("lvl").alias("_ol"), F.col("sigma").alias("_os"),
+                    ),
+                    ["root", ID],
+                    "left",
+                )
+                .select(
+                    (
+                        F.col("_ol").isNull()
+                        | (F.col("_ol") != F.col("lvl"))
+                        | (F.col("_os") != F.col("sigma"))
+                    ).alias("_ch")
+                )
+                .observe(obs, F.count(F.when(F.col("_ch"), 1)).alias("n"))
+            )
+            chk.count()
+            changed = obs.get["n"]
+            st.unpersist()
+            st = new_st
+            if changed == 0:
+                break
+        else:
+            raise ConvergenceError("weighted betweenness sigma did not settle")
+        maxlvl = st.agg(F.max("lvl")).collect()[0][0] or 0
+        # sigma_u folded onto each DAG edge once for the backward sweeps
+        dag_s = truncate_lineage(
+            dag.join(
+                st.select("root", F.col(ID).alias("_u"), F.col("sigma").alias("_su")),
+                ["root", "_u"],
+            )
+        ).persist()
+        dag.unpersist()
+        # -- phase 3: backward sweeps by level; pending deltas keyed by node
+        stt = st.join(targets, ID, "left")
+        pend: DataFrame | None = None  # (root, id, delta) not yet consumed
+        batch_deltas: list[DataFrame] = []
+        for lvl in range(int(maxlvl), 0, -1):
+            rows_l = stt.filter(F.col("lvl") == lvl)
+            if pend is not None:
+                rows_l = rows_l.join(pend, ["root", ID], "left")
+            else:
+                rows_l = rows_l.withColumn("delta", F.lit(0.0))
+            rows_l = truncate_lineage(
+                rows_l.select(
+                    "root", ID, "sigma",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                    (
+                        F.coalesce("delta", F.lit(0.0))
+                        + F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0))
+                    ).alias("coeff"),
+                )
+            )
+            batch_deltas.append(rows_l.select("root", ID, "delta"))
+            contrib = (
+                dag_s.join(
+                    rows_l.select(
+                        "root", F.col(ID).alias("_w"),
+                        (F.col("coeff") / F.col("sigma")).alias("_cw"),
+                    ),
+                    ["root", "_w"],
+                )
+                .groupBy("root", F.col("_u").alias(ID))
+                .agg(F.sum(F.col("_cw") * F.col("_su")).alias("delta"))
+            )
+            if pend is not None:
+                keep = pend.join(
+                    rows_l.select("root", ID), ["root", ID], "left_anti"
+                )
+                pend = truncate_lineage(
+                    keep.unionAll(contrib)
+                    .groupBy("root", ID)
+                    .agg(F.sum("delta").alias("delta"))
+                )
+            else:
+                pend = truncate_lineage(contrib)
+        dag_s.unpersist()
+        if batch_deltas:
+            from functools import reduce
+
+            batch_scores = (
+                reduce(DataFrame.unionAll, batch_deltas)
+                .filter(F.col(ID) != F.col("root"))
+                .groupBy(ID)
+                .agg(F.sum("delta").alias("betweenness"))
+            )
+            acc = (
+                batch_scores
+                if acc is None
+                else truncate_lineage(
+                    acc.unionAll(batch_scores)
+                    .groupBy(ID)
+                    .agg(F.sum("betweenness").alias("betweenness"))
+                )
+            )
+    nv = graph.num_nodes()
+    base = node_ids.join(acc, ID, "left") if acc is not None else (
+        node_ids.withColumn("betweenness", F.lit(0.0))
+    )
+    out = base.select(
+        ID, F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+    out = truncate_lineage(_betweenness_scale(out, nv, graph.is_directed, normalize))
+    sources.unpersist()
+    edges.unpersist()
+    redges.unpersist()
+    return out
+
+
 def betweenness_centrality(
     graph: Graph,
     nodes: Optional[DataFrame] = None,
@@ -788,9 +1061,13 @@ def betweenness_centrality(
 
     ``strategy``: ``"kernel"`` is the broadcast-CSR path above (weighted,
     refuses graphs beyond ``max_edges``); ``"distributed"`` is
-    ``_betweenness_distributed`` (unweighted only, no broadcast, no driver
-    O(V)); ``"auto"`` picks kernel below the guard and falls through to
-    distributed above it when the graph is unweighted."""
+    ``_betweenness_distributed`` (batched multi-source BFS) for
+    unweighted graphs and ``_betweenness_distributed_weighted`` (implicit
+    shortest-path DAG over Bellman-Ford distances, level-layered
+    dependency sweeps) for weighted ones — neither broadcasts the
+    adjacency or keeps O(V) driver state; ``"auto"`` picks kernel below
+    the guard and falls through to the matching distributed strategy
+    above it."""
     import numpy as np
     import pandas as pd
 
@@ -798,23 +1075,24 @@ def betweenness_centrality(
         raise ValueError(f"unknown betweenness strategy {strategy!r}")
     if strategy == "distributed":
         if graph.is_weighted:
-            raise GraphPropertyError(
-                "distributed betweenness is BFS-based (unweighted); "
-                "weighted graphs need the kernel strategy"
-            )
+            return _betweenness_distributed_weighted(graph, nodes, normalize)
         return _betweenness_distributed(graph, nodes, normalize)
     spark = graph.edges.sparkSession
     wedges = _weighted_edges(graph)
     m = wedges.count()
     if m > max_edges:
-        if strategy == "auto" and not graph.is_weighted:
+        if strategy == "auto":
+            if graph.is_weighted:
+                return _betweenness_distributed_weighted(
+                    graph, nodes, normalize
+                )
             return _betweenness_distributed(graph, nodes, normalize)
         raise GraphPropertyError(
             f"betweenness needs the adjacency broadcast per task; graph has "
             f"{m} (symmetrized) edges > max_edges={max_edges}. Exact "
             f"betweenness is all-pairs — sample sources at this scale "
-            f"(unweighted graphs take the distributed BFS strategy "
-            f"automatically)."
+            f"(strategy='auto' takes the distributed BFS/Bellman-Ford "
+            f"strategies automatically)."
         )
     # single Arrow pass each: columnar to numpy, no Python Row objects
     nodes_tbl = graph.node_ids().toArrow()

@@ -120,6 +120,69 @@ def test_betweenness_golden_multiple_hubs(spark):
     assert_close_map(got, expected, rel_tol=1e-9)
 
 
+def test_betweenness_distributed_weighted_goldens(spark):
+    """The weighted distributed strategy (implicit shortest-path DAG +
+    level-layered sweeps — the scale path past the broadcast-CSR guard
+    for weighted graphs) reproduces BOTH reference goldens, forced via
+    max_edges=1 auto fall-through AND via strategy='distributed'."""
+    expected = {0: 1.0, 1: 1.0, 2: 9.0, 3: 6.0, 4: 12.0, 5: 13.0, 6: 11.0, 7: 0.0}
+    g = build(df_from_edges(spark, STD_EDGES), is_directed=True)
+    got = to_map(
+        betweenness_centrality(g, normalize=False, max_edges=1, strategy="auto"),
+        "betweenness",
+    )
+    assert_close_map(got, expected, rel_tol=1e-9)
+    edges = [
+        (0, 1, 2), (0, 3, 0.1), (1, 5, 1), (2, 5, 5), (2, 7, 6), (3, 1, 7),
+        (3, 4, 0.1), (4, 1, 3), (4, 2, 1), (5, 6, 10), (6, 2, 11),
+    ]
+    expected = {0: 0.0, 1: 6.0, 2: 7.0, 3: 3.0, 4: 7.0, 5: 7.0, 6: 4.0, 7: 0.0}
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    got = to_map(
+        betweenness_centrality(g, normalize=False, strategy="distributed"),
+        "betweenness",
+    )
+    assert_close_map(got, expected, rel_tol=1e-9)
+
+
+@pytest.mark.slow
+def test_betweenness_distributed_weighted_matches_kernel_and_nx(spark):
+    """Weighted distributed strategy vs broadcast-CSR kernel vs networkx
+    weighted subset-Brandes on a random weighted undirected graph with a
+    source subset (integer weights: shortest-path sums round identically
+    across engines, so the implicit-DAG float-equality test is exact)."""
+    import random
+
+    rng = random.Random(11)
+    n = 30
+    nxg = nx.gnp_random_graph(n, 0.15, seed=11)
+    edges = [(u, v, float(rng.randint(1, 9))) for u, v in nxg.edges()]
+    for u, v, w in edges:
+        nxg[u][v]["weight"] = w
+    g = build(df_from_edges(spark, edges, weighted=True), is_directed=False)
+    non_isolated = [v for v in range(n) if nxg.degree(v) > 0]
+    srcs = sorted(rng.sample(non_isolated, 10))
+    src_df = spark.createDataFrame([(s,) for s in srcs], "id long")
+    want_nx = nx.betweenness_centrality_subset(
+        nxg, sources=srcs, targets=srcs, normalized=False, weight="weight"
+    )
+    kern = to_map(
+        betweenness_centrality(g, nodes=src_df, strategy="kernel"),
+        "betweenness",
+    )
+    dist = to_map(
+        betweenness_centrality(g, nodes=src_df, strategy="distributed"),
+        "betweenness",
+    )
+    for v in range(n):
+        assert math.isclose(
+            dist.get(v, 0.0), kern.get(v, 0.0), rel_tol=1e-9, abs_tol=1e-9
+        ), (v, dist.get(v), kern.get(v))
+        assert math.isclose(
+            dist.get(v, 0.0), want_nx.get(v, 0.0), rel_tol=1e-9, abs_tol=1e-9
+        ), (v, dist.get(v), want_nx.get(v))
+
+
 def test_degree_centrality_golden(spark):
     # reference test_centrality.py:258-307
     g = build(df_from_edges(spark, STD_EDGES), is_directed=True)
@@ -180,13 +243,16 @@ def test_closeness_all_nodes_guard(spark, monkeypatch):
 
 
 def test_betweenness_edge_guard(spark):
+    # strategy='kernel' past the broadcast guard still refuses loudly;
+    # 'auto' now falls through to the weighted distributed strategy
+    # instead (covered by the weighted-goldens test)
     from metagraph_spark.exceptions import GraphPropertyError
 
     g = build(
         df_from_edges(spark, STD_EDGES, weighted=True), is_directed=True
     )
     with pytest.raises(GraphPropertyError):
-        betweenness_centrality(g, max_edges=2)
+        betweenness_centrality(g, max_edges=2, strategy="kernel")
 
 
 def test_betweenness_validates_sources(spark):
@@ -251,18 +317,24 @@ def test_betweenness_distributed_matches_kernel_and_nx(spark):
 
 
 def test_betweenness_distributed_guards(spark):
-    """Weighted graphs must refuse the BFS strategy; oversized source sets
-    must refuse the per-source loop."""
+    """Oversized source sets must refuse the per-source loop — both the
+    unweighted BFS variant and the weighted DAG variant."""
     from metagraph_spark.exceptions import GraphPropertyError
 
-    g_w = build(df_from_edges(spark, STD_EDGES), is_directed=True)
-    with pytest.raises(GraphPropertyError):
-        betweenness_centrality(g_w, strategy="distributed")
     g_u = build(
         df_from_edges(spark, [(0, 1), (1, 2)], weighted=False),
         is_directed=False,
     )
-    from metagraph_spark.operators.centrality import _betweenness_distributed
+    from metagraph_spark.operators.centrality import (
+        _betweenness_distributed,
+        _betweenness_distributed_weighted,
+    )
 
     with pytest.raises(GraphPropertyError):
         _betweenness_distributed(g_u, None, False, max_sources=2)
+    g_w = build(
+        df_from_edges(spark, [(0, 1, 2.0), (1, 2, 3.0)], weighted=True),
+        is_directed=False,
+    )
+    with pytest.raises(GraphPropertyError):
+        _betweenness_distributed_weighted(g_w, None, False, max_sources=2)
