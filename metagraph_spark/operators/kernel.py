@@ -126,15 +126,21 @@ class EdgeBlocks:
         if self._out_deg is None:
             import os
 
-            if self.spill_dir is None:
+            deg_path = (
+                os.path.join(self.spill_dir, "out_deg.npy")
+                if self.spill_dir is not None
+                else None
+            )
+            # file-backed degree-free layouts (cc_blocks/lpa_vote_blocks/
+            # label_blocks) must raise the same actionable message as
+            # in-memory ones, not a bare FileNotFoundError on the .npy
+            if deg_path is None or not os.path.exists(deg_path):
                 raise RuntimeError(
                     "EdgeBlocks built with_degrees=False carry no degree "
                     "vector (degree-free kernels: katz/cc/lpa); rebuild "
                     "with with_degrees=True for pagerank"
                 )
-            self._out_deg = np.load(
-                os.path.join(self.spill_dir, "out_deg.npy"), mmap_mode="r"
-            )
+            self._out_deg = np.load(deg_path, mmap_mode="r")
         return self._out_deg
 
     def unpersist(self) -> None:

@@ -592,7 +592,8 @@ def lpa_vote_blocks(graph: Graph, spill_dir: str | None = None,
 
 
 def _distributed_cc_loop(
-    eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None
+    eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None,
+    slice_store=None,
 ) -> DataFrame | None:
     """Hash-min label exchange where the label vector NEVER crosses the
     driver: int64 label vectors live in the slice store (same protocol as
@@ -614,9 +615,11 @@ def _distributed_cc_loop(
     if nb == 0 or los != [_blk_lo(k, n, nb) for k in range(nb)]:
         return None
     hi_of = {_blk_lo(k, n, nb): _blk_lo(k + 1, n, nb) for k in range(nb)}
-    store = LocalSliceStore(
-        os.path.join(eb.spill_dir, f"cc_{uuid.uuid4().hex[:12]}")
-    )
+    store = slice_store
+    if store is None:
+        store = LocalSliceStore(
+            os.path.join(eb.spill_dir, f"cc_{uuid.uuid4().hex[:12]}")
+        )
     store.init_run()
     store.write_full(0, np.arange(n, dtype=np.int64))
     cur = 0  # index of the newest complete label vector
@@ -737,6 +740,7 @@ def cc_kernel(
     max_rounds: int = 200,
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
+    slice_store=None,
 ) -> DataFrame:
     """Connected components via CSR blocks. Returns ``(id, label)``,
     label = min node id in the component (exactly the join path's labels).
@@ -770,8 +774,10 @@ def cc_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
-        if file_backed and eb.spill_dir:
-            r_df = _distributed_cc_loop(eb, max_rounds, fixed_rounds)
+        if file_backed and (eb.spill_dir or slice_store is not None):
+            r_df = _distributed_cc_loop(
+                eb, max_rounds, fixed_rounds, slice_store=slice_store
+            )
             if r_df is not None:
                 return r_df
         publish, release = _vector_feed(spark, eb)
@@ -879,7 +885,8 @@ def _segmented_mode(dsts: np.ndarray, labs: np.ndarray):
 
 
 def _distributed_lpa_loop(
-    eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None
+    eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None,
+    slice_store=None,
 ) -> DataFrame | None:
     """LPA rounds with the label vector in the slice store (never on the
     driver): each task computes its dst-range's modal votes and writes the
@@ -897,9 +904,11 @@ def _distributed_lpa_loop(
     if nb == 0 or los != [_blk_lo(k, n, nb) for k in range(nb)]:
         return None
     hi_of = {_blk_lo(k, n, nb): _blk_lo(k + 1, n, nb) for k in range(nb)}
-    store = LocalSliceStore(
-        os.path.join(eb.spill_dir, f"lpa_{uuid.uuid4().hex[:12]}")
-    )
+    store = slice_store
+    if store is None:
+        store = LocalSliceStore(
+            os.path.join(eb.spill_dir, f"lpa_{uuid.uuid4().hex[:12]}")
+        )
     store.init_run()
     store.write_full(0, np.arange(n, dtype=np.int64))
     total = fixed_rounds if fixed_rounds is not None else max_rounds
@@ -990,6 +999,7 @@ def lpa_kernel(
     max_rounds: int = 50,
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
+    slice_store=None,
 ) -> DataFrame:
     """Deterministic synchronous LPA via CSR blocks. Returns ``(id, label)``
     — exactly ``operators/lpa.py``'s partition AND labels (vote multiset =
@@ -1020,8 +1030,10 @@ def lpa_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
-        if file_backed and eb.spill_dir:
-            r_df = _distributed_lpa_loop(eb, max_rounds, fixed_rounds)
+        if file_backed and (eb.spill_dir or slice_store is not None):
+            r_df = _distributed_lpa_loop(
+                eb, max_rounds, fixed_rounds, slice_store=slice_store
+            )
             if r_df is not None:
                 return r_df
         publish, release = _vector_feed(spark, eb)

@@ -322,6 +322,15 @@ def test_degree_free_blocks_guard_and_weight_metadata(spark, tmp_path):
     with pytest.raises(RuntimeError, match="with_degrees=False"):
         _ = eb.out_deg
     eb.unpersist()
+    # FILE-BACKED degree-free layouts raise the same message (not a bare
+    # FileNotFoundError for out_deg.npy)
+    ebdf = build_edge_blocks(
+        g, num_blocks=2, spill_dir=str(tmp_path / "degfree"),
+        with_degrees=False,
+    )
+    with pytest.raises(RuntimeError, match="with_degrees=False"):
+        _ = ebdf.out_deg
+    ebdf.unpersist()
     d = str(tmp_path / "wmeta")
     ebf = build_edge_blocks(
         g, num_blocks=2, spill_dir=d, with_weights=True, with_degrees=False
@@ -335,6 +344,58 @@ def test_degree_free_blocks_guard_and_weight_metadata(spark, tmp_path):
     for k in want:
         assert math.isclose(want[k], got[k], rel_tol=1e-9, abs_tol=1e-12)
     reopened.unpersist()
+
+
+def test_object_slice_store_runs_all_distributed_loops(spark, tmp_path):
+    """The ObjectSliceStore double (whole-object put/get/list/delete ONLY
+    — the S3 access pattern, no mmap/r+ views/symlinks) satisfies the
+    slice-store duck type: the pagerank, CC, and LPA distributed loops
+    produce exactly their LocalSliceStore results through it."""
+    from metagraph_spark.operators.kernel import (
+        build_edge_blocks,
+        pagerank_kernel,
+    )
+    from metagraph_spark.operators.kernel_algos import label_blocks
+    from metagraph_spark.operators.slice_stores import ObjectSliceStore
+
+    edges = _random_edges(40, 120, seed=67, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+
+    eb_pr = build_edge_blocks(g, spill_dir=str(tmp_path / "prb"))
+    want_pr = _map(pagerank_kernel(eb_pr, fixed_iterations=5), "rank")
+    got_pr = _map(
+        pagerank_kernel(
+            eb_pr, fixed_iterations=5,
+            slice_store=ObjectSliceStore(str(tmp_path / "bucket_pr")),
+        ),
+        "rank",
+    )
+    assert set(want_pr) == set(got_pr)
+    for k in want_pr:
+        assert math.isclose(
+            want_pr[k], got_pr[k], rel_tol=1e-12, abs_tol=1e-15
+        ), k
+    eb_pr.unpersist()
+
+    shared = label_blocks(g, spill_dir=str(tmp_path / "lblb"))
+    want_cc = _map(cc_kernel(shared), "label")
+    got_cc = _map(
+        cc_kernel(
+            shared, slice_store=ObjectSliceStore(str(tmp_path / "bucket_cc"))
+        ),
+        "label",
+    )
+    assert want_cc == got_cc
+    want_lpa = _map(lpa_kernel(shared, fixed_rounds=3), "label")
+    got_lpa = _map(
+        lpa_kernel(
+            shared, fixed_rounds=3,
+            slice_store=ObjectSliceStore(str(tmp_path / "bucket_lpa")),
+        ),
+        "label",
+    )
+    assert want_lpa == got_lpa
+    shared.unpersist()
 
 
 def test_shared_label_blocks_feed_cc_and_lpa(spark, tmp_path):
