@@ -1137,19 +1137,23 @@ def _ivf_topk_sql(
 ) -> str:
     """Exact replica of ``functions.similarity.ivf_topk``: seeded-sample
     centroid init via the shared cross-engine mix31 hash, ``lloyd_iters``
-    unrolled spherical-k-means refinements (argmax-cosine assignment →
-    per-dimension mean of the UNIT member vectors, zero-norm cells
-    dropped; cosine is scale-invariant so the oracle skips the engine's
-    renormalization), final assignment, nprobe probing, exact rerank —
-    all tie-breaks to the smaller cell/neighbor id, matching the Spark
-    plan."""
+    unrolled spherical-k-means refinements (argmax-dot assignment over
+    UNIT vectors → per-dimension mean of the unit members, renormalized
+    to unit length exactly as the engine does, zero-norm cells dropped),
+    final assignment, nprobe probing, exact rerank — every score is the
+    SAME plain dot product of unit-normalized vectors the Spark plan
+    computes (no list_cosine_similarity-of-raw-vectors shortcut: cosine
+    is scale-invariant mathematically but rounds differently, and a
+    near-tie cell assignment flipping after two Lloyd iterations would
+    compound into different probe sets), all tie-breaks to the smaller
+    cell/neighbor id."""
     h = _mix31_sql("vec_id", seed)
     ctes = [
         f"q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_qid})",
         "nrm AS (SELECT vec_id, list_transform(embedding, x -> x /"
         " sqrt(list_sum(list_transform(embedding, y -> y*y)))) AS un"
         " FROM embeddings)",
-        f"""cents_0 AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        f"""cents_0 AS (SELECT vec_id AS cell, un AS cv FROM nrm
           ORDER BY ({h}), vec_id LIMIT {num_cells})""",
     ]
     for i in range(1, lloyd_iters + 1):
@@ -1158,44 +1162,47 @@ def _ivf_topk_sql(
           SELECT n.vec_id, c.cell,
                  row_number() OVER (
                    PARTITION BY n.vec_id
-                   ORDER BY list_cosine_similarity(n.un, c.cv) DESC,
+                   ORDER BY list_inner_product(n.un, c.cv) DESC,
                             c.cell) AS rn
           FROM nrm n CROSS JOIN cents_{i - 1} c) WHERE rn = 1)"""
         )
         ctes.append(
-            f"""cents_{i} AS (SELECT cell, cv FROM (
-          SELECT cell, list(m ORDER BY d) AS cv FROM (
+            f"""cents_{i} AS (SELECT cell,
+            list_transform(mv, x -> x / sqrt(list_sum(
+                list_transform(mv, y -> y*y)))) AS cv FROM (
+          SELECT cell, list(m ORDER BY d) AS mv FROM (
             SELECT a.cell, u.d AS d, avg(n.un[u.d]) AS m
             FROM lasg_{i} a JOIN nrm n ON a.nid = n.vec_id,
                  UNNEST([{{'d': j}} FOR j IN range(1, len(n.un) + 1)]) AS s(u)
             GROUP BY a.cell, u.d) GROUP BY cell)
-          WHERE list_sum(list_transform(cv, x -> x*x)) > 0)"""
+          WHERE sqrt(list_sum(list_transform(mv, x -> x*x))) > 0)"""
         )
     final = f"cents_{lloyd_iters}"
     head = "WITH " + ",\n".join(ctes) + ",\n"
     return head + f"""cents AS (SELECT cell, cv FROM {final}),
 asg AS (SELECT vec_id AS neighbor_id, cell FROM (
-          SELECT e.vec_id, c.cell,
+          SELECT n.vec_id, c.cell,
                  row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                   PARTITION BY n.vec_id
+                   ORDER BY list_inner_product(n.un, c.cv) DESC,
                             c.cell) AS rn
-          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          FROM nrm n CROSS JOIN cents c) WHERE rn = 1),
 probes AS (SELECT query_id, cell FROM (
              SELECT q.vec_id AS query_id, c.cell,
                     row_number() OVER (
                       PARTITION BY q.vec_id
-                      ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC,
+                      ORDER BY list_inner_product(nq.un, c.cv) DESC,
                                c.cell) AS rn
-             FROM q CROSS JOIN cents c) WHERE rn <= {nprobe}),
+             FROM q JOIN nrm nq ON q.vec_id = nq.vec_id
+                  CROSS JOIN cents c) WHERE rn <= {nprobe}),
 cand AS (SELECT p.query_id, a.neighbor_id
          FROM probes p JOIN asg a USING (cell)
          WHERE a.neighbor_id <> p.query_id),
 scored AS (SELECT c.query_id, c.neighbor_id,
-                  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine
+                  list_inner_product(nc.un, nq.un) AS cosine
            FROM cand c
-           JOIN q qe ON c.query_id = qe.vec_id
-           JOIN embeddings ce ON c.neighbor_id = ce.vec_id),
+           JOIN nrm nq ON c.query_id = nq.vec_id
+           JOIN nrm nc ON c.neighbor_id = nc.vec_id),
 ranked AS (SELECT query_id, neighbor_id,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank

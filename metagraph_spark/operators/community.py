@@ -348,17 +348,23 @@ def _phase1(
     evaluated ONCE on level exit, reusing the ctx's total weight ``m``;
     modularity is invariant under self-loop-preserving contraction, so q
     computed on the level graph IS q on the original graph. The accepted
-    labeling is the LAST sweep's (gated sweeps only take strictly-improving
-    moves, so estimated ΔQ is monotone non-negative; the level-acceptance
-    test against the entry labeling still guards the pathological case)."""
+    labeling is the LAST sweep's on the converged path (gated sweeps only
+    take strictly-improving moves, so estimated ΔQ is monotone
+    non-negative); if the loop EXHAUSTS max_sweeps without converging —
+    synchronous moves can 2-cycle with every single move individually
+    positive — the last TWO states are compared by exact modularity and
+    the better one returned."""
     ctx = _sweep_ctx(g_cur)
     sym, m, _node_deg = ctx
     if m <= 0:
         sym.unpersist()
         return lab, 0.0
     stall = 0
+    exhausted = True
+    prev_lab = lab
     try:
         for sweep in range(max_sweeps):
+            prev_lab = lab
             obs = Observation(f"louvain_sweep_{sweep}_{id(lab)}")
             lab = truncate_lineage(
                 _one_refinement_sweep(
@@ -369,9 +375,23 @@ def _phase1(
             if stats["moved"] == 0 or stats["est_dq"] <= 1e-12:
                 stall += 1
                 if stall >= 2:  # both gate directions dry -> converged
+                    exhausted = False
                     break
             else:
                 stall = 0
+        # loop ran ALL max_sweeps without the stall gate firing: the
+        # synchronous sweeps may be oscillating (each single move has
+        # est_dq > 0 while exact Q drops when applied simultaneously) —
+        # the common failure mode is a 2-cycle, so compare the last two
+        # states by EXACT modularity and keep the better. This costs 2
+        # exact-Q passes only on exhaustion, never on the converged path
+        # (one-job-per-sweep discipline preserved).
+        if exhausted and max_sweeps > 0:
+            q_last = modularity(g_cur, lab, m=m)
+            q_prev = modularity(g_cur, prev_lab, m=m)
+            if q_prev > q_last:
+                return prev_lab, q_prev
+            return lab, q_last
     finally:
         sym.unpersist()
     return lab, modularity(g_cur, lab, m=m)

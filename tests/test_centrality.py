@@ -38,7 +38,6 @@ def assert_close_map(got, expected, rel_tol=1e-5, abs_tol=0.0):
         )
 
 
-@pytest.mark.slow
 def test_katz_golden(spark):
     # reference test_centrality.py:106-144
     edges = [
@@ -54,7 +53,6 @@ def test_katz_golden(spark):
     assert_close_map(got, expected, rel_tol=1e-5)
 
 
-@pytest.mark.slow
 def test_eigenvector_golden(spark):
     # reference test_centrality.py:212-227 (undirected standard graph)
     expected = {
@@ -67,7 +65,6 @@ def test_eigenvector_golden(spark):
     assert_close_map(got, expected, rel_tol=1e-3)
 
 
-@pytest.mark.slow
 def test_hits_golden(spark):
     # reference test_centrality.py:230-255 (directed standard graph)
     hubs_exp = {

@@ -17,7 +17,6 @@ from tests.conftest import df_from_edges
 COLOR_EDGES = [(0, 1), (0, 3), (0, 5), (1, 2), (2, 4), (3, 5), (4, 5)]
 
 
-@pytest.mark.slow
 def test_greedy_coloring_reference_contract(spark):
     g = build(df_from_edges(spark, COLOR_EDGES, weighted=False), is_directed=False)
     colors_df, n_colors = greedy_coloring(g)

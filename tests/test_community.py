@@ -24,7 +24,6 @@ LOUVAIN_EDGES = [
 ]
 
 
-@pytest.mark.slow
 def test_louvain_step_golden(spark):
     g = build(df_from_edges(spark, LOUVAIN_EDGES), is_directed=False)
     labels, q = louvain_community(g)

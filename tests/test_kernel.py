@@ -19,7 +19,6 @@ GOLDEN_EXPECTED = {
 }
 
 
-@pytest.mark.slow
 def test_kernel_pagerank_golden(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     got = {r["id"]: r["rank"] for r in

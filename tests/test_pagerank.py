@@ -48,7 +48,6 @@ def numpy_pagerank(edges, n, damping=0.85, maxiter=100, tol=1e-7):
     raise RuntimeError("oracle did not converge")
 
 
-@pytest.mark.slow
 def test_pagerank_golden(spark):
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
     result = pagerank(g, damping=0.85, maxiter=50, tolerance=1e-7)
