@@ -55,11 +55,14 @@ def _min_label_fixpoint(
     fixed_rounds: int | None = None,
     checkpointer: CheckpointManager | None = None,
     start_round: int = 0,
+    metrics_sink: list | None = None,
 ) -> DataFrame:
     """Iterate label[v] = min(label[v], min over in-neighbors) to fixpoint.
 
     ``labels``: (id, label). ``sym_edges`` must contain BOTH directions for
     undirected semantics. Returns the converged labels DataFrame.
+    ``metrics_sink`` (optional list) receives one dict per round with the
+    round index and changed-label count.
     """
     total = fixed_rounds if fixed_rounds is not None else max_rounds
     rnd = start_round
@@ -92,6 +95,8 @@ def _min_label_fixpoint(
         )
         new_labels = truncate_lineage(new_labels)
         changed = obs.get["changed"]
+        if metrics_sink is not None:
+            metrics_sink.append({"round": rnd, "changed": int(changed)})
         labels.unpersist()
         labels = new_labels.drop("_changed")
         rnd += 1
@@ -337,6 +342,50 @@ def connected_components(
             fixed_rounds=fixed_rounds,
             checkpointer=checkpointer,
             start_round=start_round,
+        )
+    finally:
+        sym.unpersist()
+
+
+def incremental_connected_components(
+    graph: Graph,
+    prev_labels: DataFrame,
+    max_rounds: int = 200,
+    metrics_sink: list | None = None,
+) -> DataFrame:
+    """Converged CC WARM-STARTED from a previous labeling after edges were
+    APPENDED (the streaming-ingest maintenance path,
+    ``streaming/ingest_stream.py``: new micro-batches only ever add
+    edges/nodes — deletions are out of contract).
+
+    Correctness: with edge additions, every old component is a subset of
+    exactly one new component, so each node's previous label (its old
+    component's min id) is the id of a node inside its NEW component and
+    ``>=`` the new minimum; hash-min therefore converges to exactly the
+    cold run's min-id-per-component labels. Nodes absent from
+    ``prev_labels`` (new actors) start at their own id, the cold init.
+
+    Cost: rounds = O(diameter of the MERGE structure) — label corrections
+    only propagate from where components fused — instead of the cold
+    O(log V); a typical appended batch settles in 1-2 |E|-row rounds
+    (asserted in tests). ``metrics_sink`` receives per-round changed
+    counts so callers can observe exactly that."""
+    spark = graph.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = graph.edges.select(SRC, DST)
+    sym = (
+        e.unionAll(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        .repartition(n_part, SRC)
+        .persist()
+    )
+    labels = truncate_lineage(
+        graph.node_ids()
+        .join(prev_labels.select(ID, F.col("label").alias("_pl")), ID, "left")
+        .select(ID, F.coalesce("_pl", F.col(ID)).alias("label"))
+    )
+    try:
+        return _min_label_fixpoint(
+            spark, sym, labels, max_rounds, metrics_sink=metrics_sink
         )
     finally:
         sym.unpersist()

@@ -190,7 +190,15 @@ def start_edge_maintenance(
 
 
 def current_edges(spark: SparkSession, edge_table_path: str) -> DataFrame:
-    """Aggregate the append-only deltas into the canonical edge view."""
+    """Aggregate the append-only deltas into the canonical edge view.
+
+    Downstream analytics over the maintained table are incremental too:
+    after each appended epoch, converged connected components warm-start
+    from the previous epoch's labels via
+    ``operators.components.incremental_connected_components`` —
+    label corrections only propagate from where components fused, so an
+    appended micro-batch settles in 1-2 |E|-row rounds instead of a cold
+    O(log V) run (appends only; deletions require a cold recompute)."""
     return (
         spark.read.parquet(edge_table_path)
         .groupBy("src", "dst")
