@@ -198,7 +198,12 @@ def current_edges(spark: SparkSession, edge_table_path: str) -> DataFrame:
     ``operators.components.incremental_connected_components`` —
     label corrections only propagate from where components fused, so an
     appended micro-batch settles in 1-2 |E|-row rounds instead of a cold
-    O(log V) run (appends only; deletions require a cold recompute)."""
+    O(log V) run (appends only; deletions require a cold recompute).
+    PageRank maintenance is the same shape:
+    ``operators.pagerank.incremental_pagerank`` re-converges from the
+    previous epoch's rank vector in a handful of supersteps (power
+    iteration contracts from any unit-mass seed, so the fixpoint equals
+    the cold run's)."""
     return (
         spark.read.parquet(edge_table_path)
         .groupBy("src", "dst")

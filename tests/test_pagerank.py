@@ -214,3 +214,69 @@ def test_pagerank_copartition_state_parity(spark):
     b = {r["id"]: r["rank"] for r in pagerank(g, fixed_iterations=6).collect()}
     for k in a:
         assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_incremental_pagerank_warm_start_fewer_supersteps(spark):
+    """Warm-starting from the pre-append fixpoint must (a) converge to the
+    cold run's ranks on the appended graph and (b) take fewer supersteps
+    than the cold run — the streaming-maintenance contract."""
+    from metagraph_spark.operators.pagerank import incremental_pagerank
+
+    # hub topology: uniform (the cold seed) is FAR from the fixpoint, so
+    # the saved-superstep contract is observable; ring keeps it strongly
+    # connected. Appending one leaf-to-leaf edge + one new node is a
+    # small perturbation — the warm seed starts near the new fixpoint.
+    n0 = 40
+    base = [(i, (i + 1) % n0) for i in range(n0)] + [
+        (i, 0) for i in range(1, n0)
+    ]
+    g0 = build(df_from_edges(spark, base, weighted=False), is_directed=True)
+    prev = pagerank(g0, tolerance=1e-9, maxiter=300, strategy="join")
+
+    appended = base + [(7, 23), (40, 0), (3, 40)]  # new node 40 + new edges
+    g1 = build(df_from_edges(spark, appended, weighted=False), is_directed=True)
+    cold_m, warm_m = [], []
+    cold = {r["id"]: r["rank"] for r in pagerank(
+        g1, tolerance=1e-9, maxiter=200, strategy="join",
+        metrics_sink=cold_m).collect()}
+    warm = {r["id"]: r["rank"] for r in incremental_pagerank(
+        g1, prev, tolerance=1e-9, maxiter=200,
+        metrics_sink=warm_m).collect()}
+    assert set(warm) == set(cold) == set(range(41))
+    for k in cold:
+        assert math.isclose(warm[k], cold[k], rel_tol=1e-6, abs_tol=1e-8), (
+            k, warm[k], cold[k])
+    assert len(warm_m) < len(cold_m), (len(warm_m), len(cold_m))
+    # mass conserved (the seed renormalization contract)
+    assert math.isclose(sum(warm.values()), 1.0, rel_tol=1e-9)
+
+
+def test_incremental_pagerank_self_warm_start_is_immediate(spark):
+    """Seeding with the SAME graph's converged ranks must settle in one
+    superstep (the L1 step from an eps-accurate fixpoint is < N*tol)."""
+    from metagraph_spark.operators.pagerank import incremental_pagerank
+
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    prev = pagerank(g, tolerance=1e-12, maxiter=300, strategy="join")
+    m: list = []
+    again = {r["id"]: r["rank"] for r in incremental_pagerank(
+        g, prev, tolerance=1e-9, maxiter=50, metrics_sink=m).collect()}
+    assert len(m) == 1, m
+    got = {r["id"]: r["rank"] for r in prev.collect()}
+    for k in got:
+        assert math.isclose(again[k], got[k], rel_tol=1e-8)
+
+
+def test_pagerank_warm_start_rejects_kernel_and_zero_mass(spark):
+    from metagraph_spark.operators.pagerank import incremental_pagerank
+
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    # all four golden nodes at 0.0 — nodes ABSENT from the warm vector
+    # seed at 1/n, so partial coverage alone can never zero the mass
+    zero = spark.createDataFrame(
+        [(i, 0.0) for i in range(4)], "id long, rank double")
+    with pytest.raises(ValueError, match="positive total mass"):
+        incremental_pagerank(g, zero)
+    some = spark.createDataFrame([(0, 1.0)], "id long, rank double")
+    with pytest.raises(ValueError, match="warm_start"):
+        pagerank(g, strategy="kernel", warm_start=some)
