@@ -174,3 +174,34 @@ class ObjectSliceStore:
     def delete_vector(self, iteration: int) -> None:
         for k in self._list(self._vec_prefix(iteration)):
             self._del(k)
+        self._del(self._ok_key(iteration))
+
+    # -- durability / resume ----------------------------------------------
+    # commit markers live OUTSIDE the vec/ prefix so open_read's slice
+    # reassembly never sees them; the atomic whole-object PUT makes the
+    # marker itself the commit point (the S3 semantics being proven)
+    @staticmethod
+    def _ok_key(iteration: int) -> str:
+        return f"ok/{iteration + 1:06d}"
+
+    def put_meta(self, meta: dict) -> None:
+        import json
+
+        self._put("meta/run", json.dumps(meta).encode())
+
+    def get_meta(self) -> dict | None:
+        import json
+
+        try:
+            return json.loads(self._get("meta/run").decode())
+        except FileNotFoundError:
+            return None
+
+    def mark_complete(self, iteration: int) -> None:
+        self._put(self._ok_key(iteration), b"ok")
+
+    def latest_complete(self) -> int | None:
+        keys = self._list("ok/")
+        if not keys:
+            return None
+        return max(int(k.rsplit("/", 1)[1]) for k in keys) - 1

@@ -264,3 +264,72 @@ def test_scale_layout_dangling_and_isolates(spark, tmp_path, monkeypatch):
         assert math.isclose(a[k], b[k], rel_tol=1e-12, abs_tol=1e-15), (k, a[k], b[k])
     eb.unpersist()
     mem.unpersist()
+
+
+def test_kernel_slice_store_resume(spark, tmp_path, monkeypatch):
+    """Distributed-loop durability: a run whose slice store survives must
+    resume from the newest COMMITTED iteration (half-written vectors are
+    never resumed from — only the driver's post-validation marker counts)
+    and finish bit-identical to an uninterrupted run."""
+    from metagraph_spark.operators import kernel as K
+    from metagraph_spark.operators.kernel import LocalSliceStore
+
+    # keep every run's files: cleanup() only ever runs on the driver, so
+    # the class-level no-op never reaches workers
+    monkeypatch.setattr(LocalSliceStore, "cleanup", lambda self: None)
+
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2, spill_dir=str(tmp_path / "blocks"))
+    d = str(tmp_path / "store")
+
+    # "crashed" run: 3 committed iterations, files left behind
+    pagerank_kernel(eb, fixed_iterations=3, slice_store=LocalSliceStore(d))
+    probe = LocalSliceStore(d)
+    assert probe.latest_complete() == 2
+    # a half-written vector (preallocated, never committed) must not count
+    probe.create_vector(3, eb.n)
+    assert probe.latest_complete() == 2
+
+    m: list = []
+    resumed = {r["id"]: r["rank"] for r in pagerank_kernel(
+        eb, fixed_iterations=7, slice_store=LocalSliceStore(d),
+        resume=True, metrics_sink=m).collect()}
+    assert [x["iteration"] for x in m] == [3, 4, 5, 6]  # only the NEW work
+    full = {r["id"]: r["rank"] for r in pagerank_kernel(
+        eb, fixed_iterations=7,
+        slice_store=LocalSliceStore(str(tmp_path / "fresh"))).collect()}
+    assert resumed == full  # bit-exact: same update rule, same fp order
+
+    # stale directory from a DIFFERENT run fails loudly
+    bad = LocalSliceStore(d)
+    bad.put_meta({"n": 999, "damping": 0.85})
+    with pytest.raises(ValueError, match="different"):
+        pagerank_kernel(eb, fixed_iterations=9,
+                        slice_store=LocalSliceStore(d), resume=True)
+    # and resume without an injected store is refused up front
+    with pytest.raises(ValueError, match="resume"):
+        pagerank_kernel(eb, fixed_iterations=2, resume=True)
+    eb.unpersist()
+
+
+def test_object_slice_store_resume(spark, tmp_path, monkeypatch):
+    """The same resume protocol over PURE object-store semantics: the
+    commit marker is an atomic whole-object PUT outside the vec/ prefix."""
+    from metagraph_spark.operators.slice_stores import ObjectSliceStore
+
+    monkeypatch.setattr(ObjectSliceStore, "cleanup", lambda self: None)
+    g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
+    eb = build_edge_blocks(g, num_blocks=2, spill_dir=str(tmp_path / "blocks"))
+    d = str(tmp_path / "bucket")
+    pagerank_kernel(eb, fixed_iterations=3, slice_store=ObjectSliceStore(d))
+    assert ObjectSliceStore(d).latest_complete() == 2
+    m: list = []
+    resumed = {r["id"]: r["rank"] for r in pagerank_kernel(
+        eb, fixed_iterations=6, slice_store=ObjectSliceStore(d),
+        resume=True, metrics_sink=m).collect()}
+    assert [x["iteration"] for x in m] == [3, 4, 5]
+    full = {r["id"]: r["rank"] for r in pagerank_kernel(
+        eb, fixed_iterations=6,
+        slice_store=ObjectSliceStore(str(tmp_path / "b2"))).collect()}
+    assert resumed == full
+    eb.unpersist()
