@@ -593,7 +593,7 @@ def lpa_vote_blocks(graph: Graph, spill_dir: str | None = None,
 
 def _distributed_cc_loop(
     eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None,
-    slice_store=None,
+    slice_store=None, resume: bool = False,
 ) -> DataFrame | None:
     """Hash-min label exchange where the label vector NEVER crosses the
     driver: int64 label vectors live in the slice store (same protocol as
@@ -621,10 +621,44 @@ def _distributed_cc_loop(
             os.path.join(eb.spill_dir, f"cc_{uuid.uuid4().hex[:12]}")
         )
     store.init_run()
-    store.write_full(0, np.arange(n, dtype=np.int64))
-    cur = 0  # index of the newest complete label vector
+    # durability: every committed label vector is a valid min-label state
+    # (hash-min is monotone), so resume restarts from the NEWEST committed
+    # vector — same marker protocol as the pagerank loop. Crashing between
+    # a gather commit and its jump commit just loses the jump (an
+    # optimization, not state); the round counter persists via put_meta
+    # and at worst replays one gather, which is idempotent under min.
+    durable = hasattr(store, "mark_complete") and hasattr(
+        store, "latest_complete"
+    )
+    cur, rnd = 0, 0
+    resumed = False
+    if resume and durable:
+        prior = store.get_meta() if hasattr(store, "get_meta") else None
+        latest = store.latest_complete()
+        if prior is not None and latest is not None:
+            if prior.get("algo") != "cc" or prior.get("n") != n:
+                raise ValueError(
+                    "resume requested but the slice store holds a "
+                    f"different run (stored {prior}, this run algo=cc "
+                    f"n={n})"
+                )
+            # fixed-round runs never jump, so vector index == round and
+            # the count is EXACT (oracle comparisons unroll a specific k);
+            # converged runs take the persisted round counter, which can
+            # lag one commit behind — replaying one gather is idempotent
+            # under min and only consumes max_rounds slack
+            cur = latest
+            rnd = cur if fixed_rounds is not None else int(
+                prior.get("round", 0)
+            )
+            resumed = True
+    if not resumed:
+        if hasattr(store, "put_meta"):
+            store.put_meta({"algo": "cc", "n": n, "round": 0})
+        store.write_full(0, np.arange(n, dtype=np.int64))
+        if durable:
+            store.mark_complete(0)
     total = fixed_rounds if fixed_rounds is not None else max_rounds
-    rnd = 0
     converged = fixed_rounds is not None
     while rnd < total:
         prev_idx, out_idx = cur, cur + 1
@@ -667,6 +701,8 @@ def _distributed_cc_loop(
             store.cleanup()
             raise RuntimeError("distributed cc round lost a slice")
         changed = int(out["changed"].sum())
+        if durable:
+            store.mark_complete(out_idx)
         cur = out_idx
         rnd += 1
         if fixed_rounds is None and changed:
@@ -695,10 +731,14 @@ def _distributed_cc_loop(
             if set(jout["dst_lo"]) != set(hi_of):
                 store.cleanup()
                 raise RuntimeError("distributed cc jump lost a slice")
+            if durable:
+                store.mark_complete(jmp_idx)
             cur = jmp_idx
         # drop everything older than the newest vector
         for old in range(max(0, cur - 3), cur):
             store.delete_vector(old)
+        if durable and hasattr(store, "put_meta"):
+            store.put_meta({"algo": "cc", "n": n, "round": rnd})
         if fixed_rounds is None and changed == 0:
             converged = True
             break
@@ -741,6 +781,7 @@ def cc_kernel(
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
     slice_store=None,
+    resume: bool = False,
 ) -> DataFrame:
     """Connected components via CSR blocks. Returns ``(id, label)``,
     label = min node id in the component (exactly the join path's labels).
@@ -763,6 +804,12 @@ def cc_kernel(
     parity with the driver-assembled feed loop at 100M edges / 2M nodes:
     15.6 s vs 15.2 s); the feed loop below remains the in-memory-blocks
     path."""
+    if resume and slice_store is None:
+        raise ValueError(
+            "resume=True requires an injected slice_store (the default "
+            "store lives under a fresh uuid dir per call and can never "
+            "hold a prior run's vectors)"
+        )
     if isinstance(graph_or_blocks, Graph):
         eb = cc_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
@@ -776,7 +823,8 @@ def cc_kernel(
         source_df = eb.manifest if file_backed else eb.blocks
         if file_backed and (eb.spill_dir or slice_store is not None):
             r_df = _distributed_cc_loop(
-                eb, max_rounds, fixed_rounds, slice_store=slice_store
+                eb, max_rounds, fixed_rounds, slice_store=slice_store,
+                resume=resume,
             )
             if r_df is not None:
                 return r_df
@@ -886,7 +934,7 @@ def _segmented_mode(dsts: np.ndarray, labs: np.ndarray):
 
 def _distributed_lpa_loop(
     eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None,
-    slice_store=None,
+    slice_store=None, resume: bool = False,
 ) -> DataFrame | None:
     """LPA rounds with the label vector in the slice store (never on the
     driver): each task computes its dst-range's modal votes and writes the
@@ -910,10 +958,36 @@ def _distributed_lpa_loop(
             os.path.join(eb.spill_dir, f"lpa_{uuid.uuid4().hex[:12]}")
         )
     store.init_run()
-    store.write_full(0, np.arange(n, dtype=np.int64))
-    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    # durability (same marker protocol as the pagerank/CC loops): the LPA
+    # vector index IS the round number (one vector per round, previous
+    # deleted after commit), so resume restarts at round latest_complete()
+    # and runs exactly the REMAINING rounds — deterministic sync LPA
+    # replays bit-identically from any committed round
+    durable = hasattr(store, "mark_complete") and hasattr(
+        store, "latest_complete"
+    )
     cur = 0
-    for rnd in range(total):
+    resumed = False
+    if resume and durable:
+        prior = store.get_meta() if hasattr(store, "get_meta") else None
+        latest = store.latest_complete()
+        if prior is not None and latest is not None:
+            if prior.get("algo") != "lpa" or prior.get("n") != n:
+                raise ValueError(
+                    "resume requested but the slice store holds a "
+                    f"different run (stored {prior}, this run algo=lpa "
+                    f"n={n})"
+                )
+            cur = latest
+            resumed = True
+    if not resumed:
+        if hasattr(store, "put_meta"):
+            store.put_meta({"algo": "lpa", "n": n})
+        store.write_full(0, np.arange(n, dtype=np.int64))
+        if durable:
+            store.mark_complete(0)
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    for rnd in range(cur, total):
         prev_idx, out_idx = cur, cur + 1
         store.create_vector(out_idx, n, dtype=np.int64)
 
@@ -963,6 +1037,8 @@ def _distributed_lpa_loop(
             store.cleanup()
             raise RuntimeError("distributed lpa round lost a slice")
         changed = int(out["changed"].sum())
+        if durable:
+            store.mark_complete(out_idx)
         cur = out_idx
         store.delete_vector(prev_idx)
         if fixed_rounds is None and changed == 0:
@@ -1000,6 +1076,7 @@ def lpa_kernel(
     fixed_rounds: int | None = None,
     spill_dir: str | None = None,
     slice_store=None,
+    resume: bool = False,
 ) -> DataFrame:
     """Deterministic synchronous LPA via CSR blocks. Returns ``(id, label)``
     — exactly ``operators/lpa.py``'s partition AND labels (vote multiset =
@@ -1019,6 +1096,12 @@ def lpa_kernel(
     edges: 41.7 s vs 102.2 s for 3 rounds — tasks write slices and return
     one scalar instead of shipping per-block winner arrays through Arrow
     every round); the feed loop remains the in-memory-blocks path."""
+    if resume and slice_store is None:
+        raise ValueError(
+            "resume=True requires an injected slice_store (the default "
+            "store lives under a fresh uuid dir per call and can never "
+            "hold a prior run's vectors)"
+        )
     if isinstance(graph_or_blocks, Graph):
         eb = label_blocks(graph_or_blocks, spill_dir=spill_dir)
         owned, spark = True, graph_or_blocks.edges.sparkSession
@@ -1032,7 +1115,8 @@ def lpa_kernel(
         source_df = eb.manifest if file_backed else eb.blocks
         if file_backed and (eb.spill_dir or slice_store is not None):
             r_df = _distributed_lpa_loop(
-                eb, max_rounds, fixed_rounds, slice_store=slice_store
+                eb, max_rounds, fixed_rounds, slice_store=slice_store,
+                resume=resume,
             )
             if r_df is not None:
                 return r_df

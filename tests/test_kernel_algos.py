@@ -456,3 +456,73 @@ def test_lpa_strategy_routing(spark):
         "label",
     )
     assert via_kernel == via_join
+
+
+def test_label_loops_resume_from_committed_round(spark, tmp_path, monkeypatch):
+    """CC and LPA slice-store loops resume from the newest COMMITTED label
+    vector and finish exactly equal to an uninterrupted run — the label
+    analog of the pagerank loop's mid-iteration resume. Fixed-round
+    resumes must run exactly the REMAINING rounds (oracle comparisons
+    unroll a specific k), so the round count derives from the committed
+    vector index."""
+    from metagraph_spark.operators.kernel import LocalSliceStore
+    from metagraph_spark.operators.kernel_algos import label_blocks
+
+    monkeypatch.setattr(LocalSliceStore, "cleanup", lambda self: None)
+    edges = _random_edges(40, 120, seed=68, weighted=False)
+    g = build(df_from_edges(spark, edges, weighted=False), is_directed=True)
+    shared = label_blocks(g, spill_dir=str(tmp_path / "lblb"))
+
+    # ---- CC, fixed rounds: 2 committed rounds, resume to 5 -------------
+    d_cc = str(tmp_path / "cc_store")
+    cc_kernel(shared, fixed_rounds=2, slice_store=LocalSliceStore(d_cc))
+    assert LocalSliceStore(d_cc).latest_complete() == 2  # index == round
+    resumed = _map(
+        cc_kernel(shared, fixed_rounds=5,
+                  slice_store=LocalSliceStore(d_cc), resume=True),
+        "label",
+    )
+    fresh = _map(
+        cc_kernel(shared, fixed_rounds=5,
+                  slice_store=LocalSliceStore(str(tmp_path / "cc_f"))),
+        "label",
+    )
+    assert resumed == fresh
+
+    # ---- CC, converged: resume over a finished run re-converges --------
+    d_cv = str(tmp_path / "cc_conv")
+    cold = _map(
+        cc_kernel(shared, slice_store=LocalSliceStore(d_cv)), "label"
+    )
+    again = _map(
+        cc_kernel(shared, slice_store=LocalSliceStore(d_cv), resume=True),
+        "label",
+    )
+    assert again == cold
+
+    # ---- LPA, fixed rounds ----------------------------------------------
+    d_lpa = str(tmp_path / "lpa_store")
+    lpa_kernel(shared, fixed_rounds=2, slice_store=LocalSliceStore(d_lpa))
+    assert LocalSliceStore(d_lpa).latest_complete() == 2
+    r_lpa = _map(
+        lpa_kernel(shared, fixed_rounds=4,
+                   slice_store=LocalSliceStore(d_lpa), resume=True),
+        "label",
+    )
+    f_lpa = _map(
+        lpa_kernel(shared, fixed_rounds=4,
+                   slice_store=LocalSliceStore(str(tmp_path / "lpa_f"))),
+        "label",
+    )
+    assert r_lpa == f_lpa
+
+    # ---- guards -----------------------------------------------------------
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        # an LPA store resumed as CC fails the algo check loudly
+        cc_kernel(shared, fixed_rounds=3,
+                  slice_store=LocalSliceStore(d_lpa), resume=True)
+    with _pytest.raises(ValueError, match="resume"):
+        cc_kernel(shared, fixed_rounds=2, resume=True)
+    shared.unpersist()
