@@ -1,4 +1,5 @@
-"""traversal.* — BFS, Bellman-Ford/Dijkstra (SSSP), minimum spanning tree.
+"""traversal.* — BFS, Bellman-Ford/Dijkstra (SSSP), minimum spanning tree,
+plus DFS and A* as guarded driver kernels.
 
 Reference contracts (abstract defs ``plugins/core/algorithms/traversal.py``):
 
@@ -224,3 +225,180 @@ def minimum_spanning_tree(graph: Graph, max_rounds: int = 64) -> Graph:
     if chosen is None:
         chosen = spark.createDataFrame([], "src long, dst long, weight double")
     return Graph(edges=chosen, nodes=graph.node_ids(), is_directed=False)
+
+
+# --------------------------------------------------------------------------
+# Sequential traversals — DRIVER KERNELS (same scope decision as flow.py:
+# the visit order of DFS / the expansion order of A* depends on every prior
+# step, so no frontier-parallel plan exists; the reference's own concrete
+# impls are single-threaded networkx/scipy). One Arrow pass assembles a
+# positional CSR sorted by (src, dst) — ascending-id neighbor preference is
+# the documented deterministic tie-break — the walk runs in numpy/python on
+# the driver, and only the O(V) result table goes back to Spark. A hard
+# ``max_edges`` guard refuses graphs outside this scope instead of OOMing.
+
+DRIVER_TRAVERSAL_MAX_EDGES = 10_000_000
+
+
+def _driver_csr(graph: Graph, max_edges: int, op: str, weights: bool):
+    """One Arrow pass -> (node_arr, indptr, nbr_pos, w or None).
+
+    Adjacency is ascending-dst within each source (the tie-break every
+    driver-kernel traversal documents). Directed graphs keep out-edges
+    only (nx semantics on DiGraph); undirected graphs are symmetrized.
+    """
+    import numpy as np
+
+    m = graph.num_edges()
+    if m > max_edges:
+        raise GraphPropertyError(
+            f"{op} is a driver kernel (inherently sequential visit order); "
+            f"graph has {m} edges > max {max_edges}"
+        )
+    node_arr = np.sort(graph.node_ids().toArrow().column(ID).to_numpy())
+    cols = [SRC, DST] + ([WEIGHT] if weights else [])
+    e_tbl = graph.symmetrized().select(*cols).toArrow()
+    src_pos = np.searchsorted(node_arr, e_tbl.column(SRC).to_numpy())
+    dst_pos = np.searchsorted(node_arr, e_tbl.column(DST).to_numpy())
+    w = e_tbl.column(WEIGHT).to_numpy().astype("float64") if weights else None
+    order = np.lexsort((dst_pos, src_pos))
+    src_pos, dst_pos = src_pos[order], dst_pos[order]
+    if w is not None:
+        w = w[order]
+    n = len(node_arr)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src_pos + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return node_arr, indptr, dst_pos, w
+
+
+def _resolve_node(node_arr, node_id: int, what: str) -> int:
+    import numpy as np
+
+    p = int(np.searchsorted(node_arr, node_id))
+    if not (0 <= p < len(node_arr) and node_arr[p] == node_id):
+        raise ValueError(f"{what} node {node_id} not in graph")
+    return p
+
+
+def _dfs_kernel(graph: Graph, source_node: int, max_edges: int):
+    """Iterative preorder DFS with ascending-id neighbor preference.
+    Returns (node_arr, order_positions, parent_positions)."""
+    import numpy as np
+
+    node_arr, indptr, nbr, _ = _driver_csr(graph, max_edges, "dfs", False)
+    s = _resolve_node(node_arr, source_node, "source")
+    n = len(node_arr)
+    seen = np.zeros(n, dtype=bool)
+    parent = np.full(n, -1, dtype=np.int64)
+    order = []
+    stack = [(s, s)]
+    while stack:
+        node, par = stack.pop()
+        if seen[node]:
+            continue
+        seen[node] = True
+        parent[node] = par
+        order.append(node)
+        # push reversed so the smallest neighbor id pops first (preorder
+        # follows ascending ids — matches the documented tie-break and the
+        # reference goldens, tests/algorithms/test_traversal.py:188-275)
+        for j in range(indptr[node + 1] - 1, indptr[node] - 1, -1):
+            nb = nbr[j]
+            if not seen[nb]:
+                stack.append((int(nb), node))
+    return node_arr, order, parent
+
+
+def dfs_iter(
+    graph: Graph, source_node: int, max_edges: int = DRIVER_TRAVERSAL_MAX_EDGES
+) -> DataFrame:
+    """``traversal.dfs_iter`` (``plugins/core/algorithms/traversal.py:41-44``;
+    nx impl ``plugins/networkx/algorithms.py:267-274``): node ids in DFS
+    preorder from ``source_node`` as ``(pos, id)`` rows — same output shape
+    as ``bfs_iter``. Golden: ``tests/algorithms/test_traversal.py:188-226``."""
+    node_arr, order, _ = _dfs_kernel(graph, source_node, max_edges)
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(i, int(node_arr[p])) for i, p in enumerate(order)], "pos int, id long"
+    )
+
+
+def dfs_tree(
+    graph: Graph, source_node: int, max_edges: int = DRIVER_TRAVERSAL_MAX_EDGES
+) -> DataFrame:
+    """``traversal.dfs_tree`` (``traversal.py:47-51``; nx impl
+    ``networkx/algorithms.py:276-282``): NodeMap ``(id, parent)`` over nodes
+    reachable from ``source_node``; the source's parent is itself. Golden:
+    ``tests/algorithms/test_traversal.py:228-275``."""
+    node_arr, order, parent = _dfs_kernel(graph, source_node, max_edges)
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(int(node_arr[p]), int(node_arr[parent[p]])) for p in order],
+        "id long, parent long",
+    )
+
+
+def astar_search(
+    graph: Graph,
+    source_node: int,
+    target_node: int,
+    heuristic_func,
+    max_edges: int = DRIVER_TRAVERSAL_MAX_EDGES,
+) -> DataFrame:
+    """``traversal.astar_search`` (``traversal.py:75-87``; nx impl
+    ``networkx/algorithms.py:583-600``): A* path from source to target as
+    ``(pos, id)`` rows. ``heuristic_func(node_id) -> float`` estimates the
+    remaining distance to the target. Unweighted graphs use unit weights.
+
+    Deterministic tie-breaks: equal-f entries pop in ascending node id;
+    neighbors relax in ascending id. Matches the reference grid golden
+    (``tests/algorithms/test_traversal.py:434-493``) exactly.
+    """
+    import heapq
+
+    import numpy as np
+
+    node_arr, indptr, nbr, w = _driver_csr(
+        graph, max_edges, "astar_search", graph.is_weighted
+    )
+    s = _resolve_node(node_arr, source_node, "source")
+    t = _resolve_node(node_arr, target_node, "target")
+    n = len(node_arr)
+    g = np.full(n, np.inf, dtype=np.float64)
+    parent = np.full(n, -1, dtype=np.int64)
+    done = np.zeros(n, dtype=bool)
+    g[s] = 0.0
+    parent[s] = s
+    pq = [(float(heuristic_func(int(node_arr[s]))), s)]
+    path = None
+    while pq:
+        _, node = heapq.heappop(pq)
+        if node == t:
+            rev = [node]
+            while node != s:
+                node = int(parent[node])
+                rev.append(node)
+            path = rev[::-1]
+            break
+        if done[node]:
+            continue
+        done[node] = True
+        gn = g[node]
+        for j in range(indptr[node], indptr[node + 1]):
+            nb = int(nbr[j])
+            ng = gn + (w[j] if w is not None else 1.0)
+            if ng < g[nb]:
+                g[nb] = ng
+                parent[nb] = node
+                heapq.heappush(
+                    pq, (ng + float(heuristic_func(int(node_arr[nb]))), nb)
+                )
+    if path is None:
+        raise ValueError(
+            f"no path from {source_node} to {target_node}"
+        )
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(i, int(node_arr[p])) for i, p in enumerate(path)], "pos int, id long"
+    )

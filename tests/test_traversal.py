@@ -145,3 +145,76 @@ def test_bfs_disconnected_source_component(spark):
     assert {r["id"]: r["depth"] for r in depths.collect()} == {5: 0, 6: 1}
     order = [r["id"] for r in bfs_iter(g, 6).orderBy("pos").collect()]
     assert order == [6]
+
+
+# dfs fixture (reference test_traversal.py:188-275)
+DFS_EDGES = [
+    (0, 3, 1), (0, 1, 2), (1, 4, 3), (2, 4, 4), (2, 5, 5),
+    (2, 7, 6), (3, 4, 8), (4, 5, 9), (5, 6, 10), (6, 2, 11),
+]
+
+
+def test_dfs_iter_golden(spark):
+    from metagraph_spark.operators.traversal import dfs_iter
+
+    g = build(df_from_edges(spark, DFS_EDGES), is_directed=True)
+    order = [r["id"] for r in dfs_iter(g, 0).orderBy("pos").collect()]
+    # reference cmp_func: tests/algorithms/test_traversal.py:216-226
+    assert order[0] == 0
+    assert order[2:7] == [4, 5, 6, 2, 7]
+    assert abs(order.index(1) - order.index(3)) == 6
+
+
+def test_dfs_tree_golden(spark):
+    from metagraph_spark.operators.traversal import dfs_tree
+
+    g = build(df_from_edges(spark, DFS_EDGES), is_directed=True)
+    got = {r["id"]: r["parent"] for r in dfs_tree(g, 0).collect()}
+    # reference cmp_func: tests/algorithms/test_traversal.py:259-272
+    assert len(got) == 8
+    for node, parent in {0: 0, 5: 4, 6: 5, 2: 6, 7: 2}.items():
+        assert got[node] == parent
+    assert got[1] in (0, 7) and got[3] in (0, 7) and got[4] in (1, 3)
+
+
+def test_dfs_guard_and_missing_source(spark):
+    from metagraph_spark.operators.traversal import dfs_iter
+
+    g = build(df_from_edges(spark, DFS_EDGES), is_directed=True)
+    with pytest.raises(GraphPropertyError, match="driver kernel"):
+        dfs_iter(g, 0, max_edges=2)
+    with pytest.raises(ValueError, match="not in graph"):
+        dfs_iter(g, 99)
+
+
+def test_astar_grid_golden(spark):
+    """Reference grid golden (tests/algorithms/test_traversal.py:434-493):
+    10x10 8-connected grid with row-4 cells (4,1)..(4,8) removed, unit
+    weights, squared-euclidean heuristic to (9,9)."""
+    from metagraph_spark.operators.traversal import astar_search
+
+    excluded = {(4, y) for y in range(1, 9)}
+    nodes = {(x, y) for x in range(10) for y in range(10)} - excluded
+    edges = []
+    for (x, y) in nodes:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb != (x, y) and nb in nodes:
+                    edges.append((x * 10 + y, nb[0] * 10 + nb[1], 1.0))
+    g = build(df_from_edges(spark, edges), is_directed=True)
+
+    def heuristic(nid):
+        x, y = divmod(nid, 10)
+        return (9 - x) ** 2 + (9 - y) ** 2
+
+    path = [r["id"] for r in astar_search(g, 0, 99, heuristic).orderBy("pos").collect()]
+    assert path == [0, 11, 22, 33, 34, 35, 36, 37, 38, 49, 59, 69, 79, 89, 99]
+
+
+def test_astar_no_path(spark):
+    from metagraph_spark.operators.traversal import astar_search
+
+    g = build(df_from_edges(spark, [(0, 1, 1.0), (2, 3, 1.0)]), is_directed=True)
+    with pytest.raises(ValueError, match="no path"):
+        astar_search(g, 0, 3, lambda _: 0.0)
