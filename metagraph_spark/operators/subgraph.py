@@ -385,3 +385,190 @@ def random_walk_sampling(
     for v in visited[1:]:
         out = out.unionAll(v)
     return out
+
+
+# --------------------------------------------------------------------------
+# subgraph.subisomorphic (``plugins/core/algorithms/subgraph.py:26-28``) —
+# the reference ships NO concrete implementation (its test,
+# ``tests/algorithms/test_subgraph.py:114-176``, skips); we implement the
+# contract anyway. Subgraph isomorphism is NP-hard, so this is a HYBRID:
+# the candidate screen is distributed (degree-dominance semi-joins shrink
+# the target to nodes that could match the pattern's weakest node), then a
+# VF2-style backtracking search runs on the driver over the screened
+# region, guarded by ``max_edges``. Semantics: INDUCED subgraph
+# isomorphism (the fixtures are relabeled induced subgraphs; nx's
+# DiGraphMatcher.subgraph_is_isomorphic analog).
+
+SUBISO_MAX_PATTERN_NODES = 16
+SUBISO_MAX_EDGES = 1_000_000
+
+
+def _neighbor_sets(edges, directed: bool):
+    """edge list -> (nodes, successors, predecessors) dict-of-sets."""
+    nodes, succ, pred = set(), {}, {}
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        succ.setdefault(s, set()).add(d)
+        pred.setdefault(d, set()).add(s)
+        if not directed:
+            succ.setdefault(d, set()).add(s)
+            pred.setdefault(s, set()).add(d)
+    return nodes, succ, pred
+
+
+def subisomorphic(
+    graph: Graph,
+    pattern: Graph,
+    max_edges: int = SUBISO_MAX_EDGES,
+    max_pattern_nodes: int = SUBISO_MAX_PATTERN_NODES,
+) -> bool:
+    """True iff ``pattern`` is (induced-)subgraph-isomorphic to ``graph``.
+
+    Distributed screen: target nodes below the pattern's weakest
+    (out-degree, in-degree) requirements can match no pattern node, so
+    they and their incident edges are dropped with one degree computation
+    + semi-join BEFORE anything is collected — at 100-TB scale this is the
+    part that runs on the cluster, and it alone resolves most negative
+    queries (empty screen => False with no driver work). The exact
+    backtracking then runs on the driver over the screened region, refusing
+    loudly past ``max_edges``."""
+    if graph.is_directed != pattern.is_directed:
+        raise GraphPropertyError(
+            "subisomorphic requires both graphs to have the same directedness"
+        )
+    n_pat = pattern.num_nodes()
+    if n_pat > max_pattern_nodes:
+        raise GraphPropertyError(
+            f"subisomorphic backtracking is exponential in pattern size; "
+            f"pattern has {n_pat} nodes > max {max_pattern_nodes}"
+        )
+    if n_pat > graph.num_nodes() or pattern.num_edges() > graph.num_edges():
+        return False
+    directed = graph.is_directed
+    p_edges = [
+        (r[SRC], r[DST])
+        for r in pattern.edges.select(SRC, DST).distinct().collect()
+    ]
+    p_nodes, p_succ, p_pred = _neighbor_sets(p_edges, directed)
+    p_nodes |= {r[ID] for r in pattern.node_ids().collect()}
+    min_out = min(len(p_succ.get(u, ())) for u in p_nodes)
+    min_in = min(len(p_pred.get(u, ())) for u in p_nodes)
+
+    # distributed degree screen: one groupBy per direction + semi-joins
+    e = graph.edges.select(SRC, DST).distinct() if directed else (
+        graph.symmetrized().select(SRC, DST).distinct()
+    )
+    outd = e.groupBy(F.col(SRC).alias(ID)).agg(F.count(F.lit(1)).alias("_o"))
+    ind = e.groupBy(F.col(DST).alias(ID)).agg(F.count(F.lit(1)).alias("_i"))
+    keep = (
+        outd.join(ind, ID, "outer")
+        .fillna(0, ["_o", "_i"])
+        .filter((F.col("_o") >= min_out) & (F.col("_i") >= min_in))
+        .select(ID)
+    )
+    screened = (
+        e.join(keep.select(F.col(ID).alias(SRC)), SRC, "left_semi")
+        .join(keep.select(F.col(ID).alias(DST)), DST, "left_semi")
+    )
+    m = screened.count()
+    if m > max_edges:
+        raise GraphPropertyError(
+            f"subisomorphic driver search refuses {m} screened edges > max "
+            f"{max_edges} (raise max_edges or tighten the pattern)"
+        )
+    t_edges = [(r[SRC], r[DST]) for r in screened.collect()]
+    t_nodes, t_succ, t_pred = _neighbor_sets(t_edges, True)
+
+    # Isolated (degree-0) pattern nodes: under INDUCED semantics they need
+    # images with no edges to any other image. Target nodes with no edges
+    # at all always qualify and are interchangeable, so satisfy as many
+    # isolated pattern nodes as possible by COUNTING zero-edge target nodes
+    # (never collected); any remainder joins the backtracking over edge-
+    # endpoint candidates, where _consistent enforces non-adjacency.
+    p_iso = sorted(u for u in p_nodes if u not in p_succ and u not in p_pred)
+    if p_iso:
+        n_zero = graph.num_nodes() - (
+            e.select(F.col(SRC).alias(ID))
+            .unionAll(e.select(F.col(DST).alias(ID)))
+            .distinct()
+            .count()
+        )
+        search_nodes = set(p_nodes) - set(p_iso[: max(0, min(len(p_iso), n_zero))])
+    else:
+        search_nodes = set(p_nodes)
+    if not search_nodes:
+        return True
+
+    # per-pattern-node candidates by degree dominance (+ self-loop need)
+    cand = {}
+    for u in sorted(search_nodes):
+        po, pi = len(p_succ.get(u, ())), len(p_pred.get(u, ()))
+        p_self = u in p_succ.get(u, ())
+        cs = [
+            v
+            for v in t_nodes
+            if len(t_succ.get(v, ())) >= po
+            and len(t_pred.get(v, ())) >= pi
+            # induced: self-loop presence must match EXACTLY, not dominate
+            and (v in t_succ.get(v, ())) == p_self
+        ]
+        if not cs:
+            return False
+        cand[u] = cs
+
+    # most-constrained-first: fewest candidates, then highest degree
+    order = sorted(
+        search_nodes,
+        key=lambda u: (
+            len(cand[u]),
+            -(len(p_succ.get(u, ())) + len(p_pred.get(u, ()))),
+        ),
+    )
+    mapping: dict = {}
+    used: set = set()
+
+    def _consistent(u, v) -> bool:
+        # induced: relations to every already-mapped node must match exactly
+        for w, x in mapping.items():
+            if (w in p_succ.get(u, ())) != (x in t_succ.get(v, ())):
+                return False
+            if (w in p_pred.get(u, ())) != (x in t_pred.get(v, ())):
+                return False
+        return True
+
+    def _bt(i: int) -> bool:
+        if i == len(order):
+            return True
+        u = order[i]
+        for v in cand[u]:
+            if v in used or not _consistent(u, v):
+                continue
+            mapping[u] = v
+            used.add(v)
+            if _bt(i + 1):
+                return True
+            del mapping[u]
+            used.discard(v)
+        return False
+
+    return _bt(0)
+
+
+def graph_isomorphic(
+    g1: Graph, g2: Graph, max_edges: int = SUBISO_MAX_EDGES
+) -> bool:
+    """``util.graph.isomorphic`` (``plugins/core/algorithms/utility.py:120-
+    122``, no concrete impl in the reference) — EXACT for graphs whose
+    screened size fits the driver kernel: equal |V|/|E|/degree-histogram
+    invariants (distributed, cheap, resolves most negatives), then induced
+    sub-isomorphism of g2 in g1 — with equal node and edge counts an
+    induced embedding IS an isomorphism. Pattern-size guard: |V| must fit
+    ``SUBISO_MAX_PATTERN_NODES`` for the exact phase."""
+    from metagraph_spark.operators.utility import graph_isomorphic_quick_reject
+
+    if not graph_isomorphic_quick_reject(g1, g2):
+        return False
+    return subisomorphic(
+        g1, g2, max_edges=max_edges, max_pattern_nodes=SUBISO_MAX_PATTERN_NODES
+    )

@@ -193,3 +193,112 @@ def test_nodemap_algebra(spark):
     pick1 = {r["id"] for r in nodeset_choose_random(ns, 5, seed=3).collect()}
     pick2 = {r["id"] for r in nodeset_choose_random(ns, 5, seed=3).collect()}
     assert pick1 == pick2 and len(pick1) == 5
+
+
+# ---- subgraph.subisomorphic (reference test_subgraph.py:114-176) ----
+SUBISO_BIG = [
+    (0, 0), (0, 1), (0, 3), (0, 6), (1, 2), (2, 0), (2, 1), (2, 5), (2, 7),
+    (2, 8), (3, 1), (3, 2), (3, 8), (4, 0), (4, 6), (4, 8), (5, 2), (5, 4),
+    (6, 4), (6, 5), (6, 7), (7, 1), (7, 4), (7, 6), (7, 7), (8, 2), (8, 5),
+    (8, 6),
+]
+SUBISO_G1 = [(0, 0), (0, 1), (0, 3), (1, 2), (2, 0), (2, 1), (3, 1), (3, 2), (4, 0)]
+SUBISO_G2 = [(0, 3), (0, 4), (1, 2), (2, 0), (2, 2), (2, 4), (3, 2), (3, 4), (4, 3)]
+
+
+def _g(spark, edges, directed=True):
+    return build(
+        df_from_edges(spark, [(s, d, 1.0) for s, d in edges]), is_directed=directed
+    )
+
+
+def test_subisomorphic_reference_fixture(spark):
+    from metagraph_spark.operators.subgraph import subisomorphic
+
+    big = _g(spark, SUBISO_BIG)
+    assert subisomorphic(big, _g(spark, SUBISO_G1)) is True
+    assert subisomorphic(big, _g(spark, SUBISO_G2)) is True
+    # pattern larger than target -> False without search
+    assert subisomorphic(_g(spark, SUBISO_G1), big) is False
+
+
+def test_subisomorphic_vs_networkx(spark):
+    """Random-graph parity with nx DiGraphMatcher (induced semantics)."""
+    import random
+
+    from networkx.algorithms import isomorphism
+
+    from metagraph_spark.operators.subgraph import subisomorphic
+
+    rng = random.Random(7)
+    target_edges = set()
+    while len(target_edges) < 40:
+        target_edges.add((rng.randrange(12), rng.randrange(12)))
+    target_edges = sorted(target_edges)
+    big = _g(spark, target_edges)
+    nx_big = nx.DiGraph(target_edges)
+    for trial in range(6):
+        pat_edges = set()
+        while len(pat_edges) < 5:
+            pat_edges.add((rng.randrange(5), rng.randrange(5)))
+        pat_edges = sorted(pat_edges)
+        expected = isomorphism.DiGraphMatcher(
+            nx_big, nx.DiGraph(pat_edges)
+        ).subgraph_is_isomorphic()
+        got = subisomorphic(big, _g(spark, pat_edges))
+        assert got == expected, (trial, pat_edges, got, expected)
+
+
+def test_subisomorphic_isolated_pattern_nodes(spark):
+    """INDUCED semantics: an edgeless pattern needs mutually non-adjacent
+    images — a clique target of exactly pattern size must reject."""
+    from metagraph_spark.operators.subgraph import subisomorphic
+
+    k3 = _g(spark, [(0, 1), (1, 2), (2, 0)], directed=False)
+    spark_nodes = df_from_edges(spark, [(10, 11, 1.0)]).sparkSession
+    edgeless3 = build(
+        spark_nodes.createDataFrame([], "src long, dst long, weight double"),
+        nodes=spark_nodes.createDataFrame([(1,), (2,), (3,)], "id long"),
+        is_directed=False,
+    )
+    assert subisomorphic(k3, edgeless3) is False
+    # path target has two non-adjacent endpoints -> edgeless pair fits
+    path3 = _g(spark, [(0, 1), (1, 2)], directed=False)
+    edgeless2 = build(
+        spark_nodes.createDataFrame([], "src long, dst long, weight double"),
+        nodes=spark_nodes.createDataFrame([(1,), (2,)], "id long"),
+        is_directed=False,
+    )
+    assert subisomorphic(path3, edgeless2) is True
+
+
+def test_subisomorphic_guards(spark):
+    from metagraph_spark.exceptions import GraphPropertyError
+    from metagraph_spark.operators.subgraph import subisomorphic
+
+    big = _g(spark, SUBISO_BIG)
+    pat = _g(spark, SUBISO_G1)
+    with pytest.raises(GraphPropertyError, match="directedness"):
+        subisomorphic(big, _g(spark, SUBISO_G1, directed=False))
+    with pytest.raises(GraphPropertyError, match="exponential"):
+        subisomorphic(big, pat, max_pattern_nodes=2)
+    with pytest.raises(GraphPropertyError, match="refuses"):
+        subisomorphic(big, pat, max_edges=3)
+
+
+def test_graph_isomorphic_exact(spark):
+    from metagraph_spark.operators.subgraph import graph_isomorphic
+
+    g = _g(spark, SUBISO_G1)
+    # relabeled copy: same structure under i -> i+10
+    relabeled = _g(spark, [(s + 10, d + 10) for s, d in SUBISO_G1])
+    assert graph_isomorphic(g, relabeled) is True
+    # G2 is the same induced subgraph of SUBISO_BIG under the reference's
+    # relabeling (2->0, 4->1, 3->2, 0->3, 1->4), so it IS isomorphic to G1
+    assert graph_isomorphic(g, _g(spark, SUBISO_G2)) is True
+    # identical |V|/|E|/degree histogram, different wiring — passes the
+    # distributed quick-reject, only the exact search can reject: C6 vs 2xC3
+    c6_edges = [(i, (i + 1) % 6) for i in range(6)]
+    c3x2_edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    assert not nx.is_isomorphic(nx.DiGraph(c6_edges), nx.DiGraph(c3x2_edges))
+    assert graph_isomorphic(_g(spark, c6_edges), _g(spark, c3x2_edges)) is False
