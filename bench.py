@@ -129,6 +129,17 @@ def main() -> None:
     eb.unpersist()
 
     timed("transcript_cc", lambda: connected_components(g_t).count())
+
+    # HOPE-katz embedding train (round 5): distributed randomized SVD —
+    # (2q+2)*k_terms mat-vec supersteps at r=d/2+oversample columns each,
+    # plus r(r+1)/2-column Gram aggregates; single trial (32 supersteps
+    # dominate, same rationale as the katz entries)
+    from metagraph_spark.operators.embedding import hope_katz_train
+
+    timed("transcript_hope_katz_d16",
+          lambda: hope_katz_train(
+              g_t, embedding_size=16, k_terms=8, power_iters=1).count(),
+          trials=1)
     g_t.unpersist()
     extras["transcript_partitions"] = n_part
     spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
