@@ -62,7 +62,6 @@ def _gauss_expr(id_col, col_idx: int, seed: int):
 
 def _series_mul(
     edges: DataFrame,
-    nodes: DataFrame,
     state: DataFrame,
     cols: list,
     beta: float,
@@ -72,7 +71,12 @@ def _series_mul(
 ) -> DataFrame:
     """``sum_{k=1..K} beta^k M^k X`` where ``M x`` joins ``edges`` on
     ``join_on`` and aggregates to ``group_as`` (M = A when join_on=dst,
-    M = A^T when join_on=src). One join+agg and one merge per superstep."""
+    M = A^T when join_on=src).
+
+    State stays SPARSE: absent rows are exact zeros, contribute nothing to
+    the next product, and are materialized only once at the very end — so a
+    superstep is exactly two shuffles (product join+agg, outer-merge into
+    the accumulator), never a third re-densify over |V|."""
     t = state
     acc = None
     for _ in range(k_terms):
@@ -91,15 +95,21 @@ def _series_mul(
                 ]
             )
         )
-        # re-densify over all nodes (zero rows matter for the merge)
-        t = truncate_lineage(
-            nodes.join(prod, ID, "left").fillna(0.0, cols)
-        )
+        t = truncate_lineage(prod)
         acc = t if acc is None else truncate_lineage(
             acc.join(
-                t.select(ID, *[F.col(c).alias(f"_t_{c}") for c in cols]), ID
+                t.select(ID, *[F.col(c).alias(f"_t_{c}") for c in cols]),
+                ID,
+                "outer",
             ).select(
-                ID, *[(F.col(c) + F.col(f"_t_{c}")).alias(c) for c in cols]
+                ID,
+                *[
+                    (
+                        F.coalesce(F.col(c), F.lit(0.0))
+                        + F.coalesce(F.col(f"_t_{c}"), F.lit(0.0))
+                    ).alias(c)
+                    for c in cols
+                ],
             )
         )
     return acc
@@ -183,17 +193,17 @@ def hope_katz_train(
         )
     )
     # Y = S Omega; subspace iterations; Z = S^T Q
-    y = _series_mul(edges_by_dst, nodes, omega, cols, beta, k_terms, DST, SRC)
+    y = _series_mul(edges_by_dst, omega, cols, beta, k_terms, DST, SRC)
     q, qcols = _orthonormalize(y, cols, "q")
     q = truncate_lineage(q)
     for _ in range(power_iters):
-        z = _series_mul(edges_by_src, nodes, q, qcols, beta, k_terms, SRC, DST)
+        z = _series_mul(edges_by_src, q, qcols, beta, k_terms, SRC, DST)
         q, qcols = _orthonormalize(z, qcols, "q")
         q = truncate_lineage(q)
-        y = _series_mul(edges_by_dst, nodes, q, qcols, beta, k_terms, DST, SRC)
+        y = _series_mul(edges_by_dst, q, qcols, beta, k_terms, DST, SRC)
         q, qcols = _orthonormalize(y, qcols, "q")
         q = truncate_lineage(q)
-    z = _series_mul(edges_by_src, nodes, q, qcols, beta, k_terms, SRC, DST)
+    z = _series_mul(edges_by_src, q, qcols, beta, k_terms, SRC, DST)
     z = truncate_lineage(z)
 
     M = _gram(z, qcols)
@@ -210,9 +220,18 @@ def hope_katz_train(
     # U sqrt(s) = Q (U_B diag(sqrt(s))); V sqrt(s) = Z (U_B diag(s^{-1/2}))
     src_emb, src_cols = _col_combo(q, qcols, u_b * np.sqrt(sig), "s")
     tgt_emb, tgt_cols = _col_combo(z, qcols, u_b / np.sqrt(sig), "t")
+    # sparse states may have different supports; the single final densify
+    # over all nodes happens here (absent rows = exact-zero embeddings)
+    emb_cols = src_cols + tgt_cols
     out = (
-        src_emb.join(tgt_emb, ID)
-        .select(ID, F.array(*[F.col(c) for c in src_cols + tgt_cols]).alias("emb"))
+        nodes.join(src_emb, ID, "left")
+        .join(tgt_emb, ID, "left")
+        .select(
+            ID,
+            F.array(
+                *[F.coalesce(F.col(c), F.lit(0.0)) for c in emb_cols]
+            ).alias("emb"),
+        )
     )
     out = truncate_lineage(out)
     edges_by_dst.unpersist()
