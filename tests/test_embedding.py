@@ -102,10 +102,10 @@ def test_hope_katz_matches_numpy_twin(spark):
     n, d = 20, 8
     g = build(df_from_edges(spark, [(s, t, 1.0) for s, t in edges]), is_directed=True)
     out = hope_katz_train(
-        g, embedding_size=d, beta=0.05, k_terms=8, power_iters=1, oversample=2, seed=7
+        g, embedding_size=d, beta=0.05, k_terms=5, power_iters=1, oversample=2, seed=7
     )
     got = {r["id"]: np.array(r["emb"]) for r in out.collect()}
-    expected, _ = _numpy_hope(edges, n, d, 0.05, 8, 1, 2, 7)
+    expected, _ = _numpy_hope(edges, n, d, 0.05, 5, 1, 2, 7)
     assert len(got) == n and all(len(v) == d for v in got.values())
     # eigenvector signs can flip between float summation orders; the
     # PRODUCT src_i . tgt_j is sign-invariant and is what HOPE preserves
@@ -121,6 +121,7 @@ def test_hope_katz_matches_numpy_twin(spark):
         assert same or flip, c
 
 
+@pytest.mark.slow
 def test_hope_katz_spectral_quality(spark):
     """sigma within a few % of the dense-SVD truth; reconstruction close to
     the best rank-d/2 approximation of the truncated Katz matrix."""

@@ -222,6 +222,7 @@ def test_subisomorphic_reference_fixture(spark):
     assert subisomorphic(_g(spark, SUBISO_G1), big) is False
 
 
+@pytest.mark.slow
 def test_subisomorphic_vs_networkx(spark):
     """Random-graph parity with nx DiGraphMatcher (induced semantics)."""
     import random
@@ -286,6 +287,7 @@ def test_subisomorphic_guards(spark):
         subisomorphic(big, pat, max_edges=3)
 
 
+@pytest.mark.slow
 def test_graph_isomorphic_exact(spark):
     from metagraph_spark.operators.subgraph import graph_isomorphic
 
