@@ -169,6 +169,14 @@ def hope_katz_train(
     distributed randomized-SVD plan."""
     if embedding_size < 2:
         raise GraphPropertyError("embedding_size must be >= 2")
+    if embedding_size > 128:
+        # the per-row column combinations generate O(r^2) expression nodes
+        # (r = d/2 + oversample); past ~128 dims that stops being a
+        # codegen-friendly plan — refuse loudly rather than degrade
+        raise GraphPropertyError(
+            "embedding_size > 128 would generate O(r^2) codegen expression "
+            "nodes; split the training into column blocks instead"
+        )
     if not (0.0 < beta < 1.0):
         raise GraphPropertyError("beta must be in (0, 1)")
     half = embedding_size // 2

@@ -249,11 +249,11 @@ def _driver_csr(graph: Graph, max_edges: int, op: str, weights: bool):
     """
     import numpy as np
 
-    m = graph.num_edges()
+    m = graph.num_edges() * (1 if graph.is_directed else 2)
     if m > max_edges:
         raise GraphPropertyError(
             f"{op} is a driver kernel (inherently sequential visit order); "
-            f"graph has {m} edges > max {max_edges}"
+            f"graph has {m} (symmetrized) edges > max {max_edges}"
         )
     node_arr = np.sort(graph.node_ids().toArrow().column(ID).to_numpy())
     cols = [SRC, DST] + ([WEIGHT] if weights else [])
