@@ -156,3 +156,56 @@ def test_hope_katz_guards(spark):
         hope_katz_train(g, embedding_size=1)
     with pytest.raises(GraphPropertyError, match="beta"):
         hope_katz_train(g, beta=1.5)
+
+
+@pytest.mark.slow
+def test_hope_katz_reference_community_separation(spark):
+    """Port of the reference golden (tests/algorithms/test_embedding.py:
+    187-262): two dense Erdos-Renyi communities joined by a weak bridge
+    must land in two tight, separable clusters in embedding space. The
+    reference scores separation with sklearn's GaussianMixture (not in
+    this container); the equivalent check here is nearest-centroid purity
+    >= 95% per community — the same property the GMM assertions pin."""
+    import networkx as nx
+
+    graph_size, p = 100, 0.9
+    a_graph = nx.erdos_renyi_graph(graph_size, p=p, directed=True, seed=11)
+    a_end = max(a_graph.nodes())
+    b_graph = nx.erdos_renyi_graph(graph_size, p=p, directed=True, seed=12)
+    b_graph = nx.relabel_nodes(
+        b_graph, {i: i + graph_size * 2 for i in a_graph.nodes()}
+    )
+    b_end = max(b_graph.nodes())
+    nxg = nx.compose(a_graph, b_graph)
+    for delta in range(5):
+        nxg.add_edge(a_end + delta, a_end + delta + 1)
+        nxg.add_edge(b_end + delta, b_end + delta + 1)
+    center = max(nxg.nodes()) * 2
+    nxg.add_edge(a_end + 5, center)
+    nxg.add_edge(b_end + 5, center)
+
+    g = build(
+        df_from_edges(spark, [(s, t, 1.0) for s, t in nxg.edges()]),
+        is_directed=True,
+    )
+    out = hope_katz_train(
+        g, embedding_size=24, beta=0.1, k_terms=6, power_iters=1
+    )
+    emb = {r["id"]: np.array(r["emb"]) for r in out.collect()}
+    a_ids = [n for n in a_graph.nodes() if n in emb]
+    b_ids = [n for n in b_graph.nodes() if n in emb]
+    A = np.array([emb[i] for i in a_ids])
+    B = np.array([emb[i] for i in b_ids])
+    # normalize rows so the purity check measures direction, not the
+    # (divergent-series) magnitude
+    A = A / (np.linalg.norm(A, axis=1, keepdims=True) + 1e-30)
+    B = B / (np.linalg.norm(B, axis=1, keepdims=True) + 1e-30)
+    mu_a, mu_b = A.mean(axis=0), B.mean(axis=0)
+    a_pure = np.mean(
+        np.linalg.norm(A - mu_a, axis=1) < np.linalg.norm(A - mu_b, axis=1)
+    )
+    b_pure = np.mean(
+        np.linalg.norm(B - mu_b, axis=1) < np.linalg.norm(B - mu_a, axis=1)
+    )
+    assert a_pure >= 0.95, a_pure
+    assert b_pure >= 0.95, b_pure
