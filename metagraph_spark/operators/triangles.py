@@ -147,3 +147,89 @@ def global_clustering_coefficient(graph: Graph) -> float:
     if not wedges:
         return 0.0
     return 3.0 * tri / wedges
+
+
+def incremental_triangle_count(
+    graph: Graph, new_edges, prev_count: int
+) -> int:
+    """Exact triangle count after edges were APPENDED, updating a previous
+    count with work sized by the batch — the streaming-maintenance
+    companion to ``components.incremental_connected_components`` and
+    ``pagerank.incremental_pagerank`` (LPA has no incremental analog: sync
+    LPA's fixpoint depends on its init, so a warm start converges to a
+    DIFFERENT stable labeling than a cold run).
+
+    ``graph`` is the maintained FULL graph (old ∪ new, the streaming sink
+    table); ``new_edges`` is the appended batch ``(src, dst[, ...])`` —
+    UNDIRECTED edges that were NOT present before in either orientation
+    (the ingest sink's groupBy-dedup guarantees this; a batch row whose
+    canonical pair already existed pre-append would double count its
+    triangles — phantom rows absent from the maintained table ARE dropped
+    defensively). ``prev_count`` is the count over the pre-append graph.
+
+    Math: a triangle of the full graph with k ≥ 1 new edges must be
+    counted exactly once; by inclusion-exclusion over which new edge
+    witnesses it, delta = T1 - T2 + T3 with
+      T1 = Σ_{(u,v) new} |N_full(u) ∩ N_full(v)|     (counts each t k times)
+      T2 = #{unordered pairs of distinct new edges sharing a vertex whose
+            far endpoints are adjacent in full}       (counts C(k,2) times)
+      T3 = #{triangles made of new edges only}        (counts C(k,3) times)
+    and k - C(k,2) + C(k,3) = 1 for k = 1, 2, 3. Every join is sized by
+    |batch| x degree, never |E|^1.5 — at 10^12 edges the cold recount is
+    the thing this exists to avoid. Exactness is asserted against cold
+    recounts over random splits in tests."""
+    full_canon = graph.canonical_undirected_edges().select(SRC, DST).persist()
+    lo = F.least(SRC, DST).alias(SRC)
+    hi = F.greatest(SRC, DST).alias(DST)
+    new_canon = (
+        new_edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .select(lo, hi)
+        .distinct()
+        # only edges actually present in the maintained table count
+        .join(full_canon, [SRC, DST], "left_semi")
+        .persist()
+    )
+    if new_canon.isEmpty():
+        full_canon.unpersist()
+        new_canon.unpersist()
+        return int(prev_count)
+    adj = full_canon.unionAll(
+        full_canon.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    # T1: common full-graph neighbors of each new edge's endpoints
+    t1 = (
+        new_canon.alias("ne")
+        .join(adj.alias("au"), F.col("ne.src") == F.col("au.src"))
+        .select(
+            F.col("ne.src").alias("u"),
+            F.col("ne.dst").alias("v"),
+            F.col("au.dst").alias("w"),
+        )
+        .filter(F.col("w") != F.col("v"))
+        .join(
+            adj.select(F.col(SRC).alias("v"), F.col(DST).alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+        .count()
+    )
+    # T2: pairs of distinct new edges sharing a vertex, far ends adjacent
+    sym_new = new_canon.unionAll(
+        new_canon.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    t2 = (
+        sym_new.alias("p")
+        .join(sym_new.alias("q"), F.col("p.src") == F.col("q.src"))
+        .filter(F.col("p.dst") < F.col("q.dst"))
+        .select(F.col("p.dst").alias(SRC), F.col("q.dst").alias(DST))
+        .join(full_canon, [SRC, DST], "left_semi")
+        .count()
+    )
+    # T3: triangles entirely inside the batch (oriented join on the batch)
+    t3 = triangle_count(
+        Graph(edges=new_canon, is_directed=False), strategy="join"
+    )
+    full_canon.unpersist()
+    new_canon.unpersist()
+    return int(prev_count) + int(t1) - int(t2) + int(t3)

@@ -203,7 +203,13 @@ def current_edges(spark: SparkSession, edge_table_path: str) -> DataFrame:
     ``operators.pagerank.incremental_pagerank`` re-converges from the
     previous epoch's rank vector in a handful of supersteps (power
     iteration contracts from any unit-mass seed, so the fixpoint equals
-    the cold run's)."""
+    the cold run's). Triangle counts update exactly with work sized by
+    the batch via ``operators.triangles.incremental_triangle_count``
+    (inclusion-exclusion over triangles touching new edges). LPA is the
+    one north-rule algorithm WITHOUT an incremental path: its sync
+    fixpoint depends on the init, so a warm start converges to a
+    different stable labeling than a cold run — callers wanting
+    epoch-over-epoch label continuity should prefer CC/Louvain."""
     return (
         spark.read.parquet(edge_table_path)
         .groupBy("src", "dst")

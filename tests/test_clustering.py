@@ -244,3 +244,46 @@ def test_cc_high_diameter_chain(spark):
     got = {r["label"] for r in labels.collect()}
     assert got == {0}
     assert labels.count() == 2000
+
+
+def test_incremental_triangle_count_matches_cold(spark):
+    """Random splits: count(old) + incremental delta == cold count(full),
+    across batches that create 0, 1, and many new triangles."""
+    import random
+
+    from metagraph_spark.operators.triangles import (
+        incremental_triangle_count,
+        triangle_count,
+    )
+
+    rng = random.Random(13)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    for split_seed in (1, 3):
+        r2 = random.Random(split_seed)
+        new = [e for e in edges if r2.random() < 0.25]
+        old = [e for e in edges if e not in set(new)]
+        g_old = build(
+            df_from_edges(spark, [(s, d, 1.0) for s, d in old]), is_directed=False
+        )
+        g_full = build(
+            df_from_edges(spark, [(s, d, 1.0) for s, d in edges]), is_directed=False
+        )
+        prev = triangle_count(g_old, strategy="join")
+        cold = triangle_count(g_full, strategy="join")
+        new_df = spark.createDataFrame(new, "src long, dst long")
+        got = incremental_triangle_count(g_full, new_df, prev)
+        assert got == cold, (split_seed, got, cold, prev)
+    # empty batch: no-op
+    g_full = build(
+        df_from_edges(spark, [(s, d, 1.0) for s, d in edges]), is_directed=False
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert incremental_triangle_count(g_full, empty, 7) == 7
+    # batch rows not present in the maintained table are ignored
+    phantom = spark.createDataFrame([(100, 101)], "src long, dst long")
+    assert incremental_triangle_count(g_full, phantom, 7) == 7
