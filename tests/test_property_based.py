@@ -93,3 +93,83 @@ def test_pagerank_strategies_agree_and_sum_to_one(spark, edges):
     for k in jb:
         assert math.isclose(jb[k], kb[k], rel_tol=1e-8, abs_tol=1e-12)
     assert math.isclose(sum(jb.values()), 1.0, rel_tol=1e-9)
+
+
+@pytest.mark.slow
+@given(edges=edge_lists, source=st.integers(0, 9))
+@settings(**SETTINGS)
+def test_dfs_preorder_invariants(spark, edges, source):
+    """dfs_iter must equal a pure-python recursive DFS with ascending-id
+    neighbor order (the documented tie-break), and dfs_tree's parents must
+    be exactly the preorder discovery parents."""
+    import sys
+
+    from metagraph_spark.operators.traversal import dfs_iter, dfs_tree
+
+    edges = [(s, d) for s, d in edges if s != d]
+    nodes = {n for e in edges for n in e}
+    if source not in nodes:
+        return
+    g = build(
+        df_from_edges(spark, [(s, d, 1.0) for s, d in edges]), is_directed=True
+    )
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    order, parents = [], {source: source}
+    sys.setrecursionlimit(10000)
+
+    def rec(u):
+        order.append(u)
+        for v in sorted(adj.get(u, ())):
+            if v not in parents:
+                parents[v] = u
+                rec(v)
+
+    rec(source)
+    got_order = [r["id"] for r in dfs_iter(g, source).orderBy("pos").collect()]
+    assert got_order == order
+    got_parents = {r["id"]: r["parent"] for r in dfs_tree(g, source).collect()}
+    assert got_parents == parents
+
+
+@pytest.mark.slow
+@given(
+    t_edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=3, max_size=18
+    ),
+    p_edges=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=1, max_size=6
+    ),
+)
+@settings(**SETTINGS)
+def test_subisomorphic_matches_bruteforce(spark, t_edges, p_edges):
+    """subisomorphic == exhaustive injective-mapping search under induced
+    semantics, over random directed target/pattern pairs."""
+    import itertools
+
+    from metagraph_spark.operators.subgraph import subisomorphic
+
+    t_edges = sorted({(s, d) for s, d in t_edges})
+    p_edges = sorted({(s, d) for s, d in p_edges})
+    t_nodes = sorted({n for e in t_edges for n in e})
+    p_nodes = sorted({n for e in p_edges for n in e})
+    if not t_nodes or not p_nodes:
+        return
+    tset, pset = set(t_edges), set(p_edges)
+    expected = False
+    if len(p_nodes) <= len(t_nodes):
+        for perm in itertools.permutations(t_nodes, len(p_nodes)):
+            m = dict(zip(p_nodes, perm))
+            if all(
+                ((u, v) in pset) == ((m[u], m[v]) in tset)
+                for u in p_nodes
+                for v in p_nodes
+            ):
+                expected = True
+                break
+    g_t = build(df_from_edges(spark, [(s, d, 1.0) for s, d in t_edges]),
+                is_directed=True)
+    g_p = build(df_from_edges(spark, [(s, d, 1.0) for s, d in p_edges]),
+                is_directed=True)
+    assert subisomorphic(g_t, g_p) is expected
