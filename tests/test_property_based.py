@@ -173,3 +173,53 @@ def test_subisomorphic_matches_bruteforce(spark, t_edges, p_edges):
     g_p = build(df_from_edges(spark, [(s, d, 1.0) for s, d in p_edges]),
                 is_directed=True)
     assert subisomorphic(g_t, g_p) is expected
+
+
+@pytest.mark.slow
+@given(edges=edge_lists)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_astar_zero_heuristic_is_shortest_path(spark, edges):
+    """With h == 0, A* is Dijkstra: the returned path's cost must equal the
+    true single-source shortest distance (python Dijkstra oracle), and
+    every hop must be a real edge."""
+    import heapq
+
+    from metagraph_spark.operators.traversal import astar_search
+
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    if not edges:
+        return
+    # deterministic positive weights
+    w_edges = [(s, d, 1.0 + ((s * 7 + d * 13) % 5)) for s, d in edges]
+    nodes = sorted({n for e in edges for n in e})
+    src = nodes[0]
+    # python dijkstra oracle
+    adj = {}
+    for s, d, w in w_edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    reachable = [n for n in nodes if n in dist and n != src]
+    if not reachable:
+        return
+    tgt = reachable[-1]
+    g = build(df_from_edges(spark, w_edges), is_directed=True)
+    path = [r["id"] for r in
+            astar_search(g, src, tgt, lambda _: 0.0).orderBy("pos").collect()]
+    assert path[0] == src and path[-1] == tgt
+    wmap = {(s, d): w for s, d, w in w_edges}
+    cost = 0.0
+    for a, b in zip(path, path[1:]):
+        assert (a, b) in wmap, (a, b)
+        cost += wmap[(a, b)]
+    assert math.isclose(cost, dist[tgt]), (cost, dist[tgt])
