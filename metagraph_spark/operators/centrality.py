@@ -954,7 +954,12 @@ def _betweenness_distributed_weighted(
             if changed == 0:
                 break
         else:
-            raise ConvergenceError("weighted betweenness sigma did not settle")
+            raise ConvergenceError(
+                "weighted betweenness sigma did not settle — a zero-weight "
+                "cycle makes the shortest-path 'DAG' cyclic (path counts "
+                "diverge; networkx has the same caveat). Remove or reweight "
+                "zero-weight edges"
+            )
         maxlvl = st.agg(F.max("lvl")).collect()[0][0] or 0
         # sigma_u folded onto each DAG edge once for the backward sweeps
         dag_s = truncate_lineage(
