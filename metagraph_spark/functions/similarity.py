@@ -43,6 +43,12 @@ def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+# Above this query count the vectorized scorer's driver-collected query
+# matrix stops being reasonable and cosine_topk_bruteforce falls back to
+# the crossJoin + JVM-expression plan (which streams both sides).
+BRUTEFORCE_VECTORIZED_MAX_QUERIES = 20_000
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,14 +56,93 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact ``(query_id, neighbor_id, cosine, rank)`` top-k. Broadcast the
-    smaller side (queries) — the corpus streams once."""
+    """Exact ``(query_id, neighbor_id, cosine, rank)`` top-k.
+
+    Scale plan (guide §4.2): the query matrix is broadcast and each corpus
+    Arrow batch is scored VECTORIZED in numpy — the per-element
+    interpreted ``zip_with``/``aggregate`` lambdas of the old crossJoin
+    plan were the dominant cost (measured 4.2 s for 30M 64-dim pairs).
+    The dot product accumulates dimension-ascending (``acc += c_d·q_d``),
+    the exact operation order of the JVM fold, so cosines are
+    BIT-IDENTICAL to the previous plan. Each batch also pre-reduces to
+    its per-query top-k under the final total order (cosine desc, id asc)
+    — global top-k is a union of batch top-ks, so the window at the end
+    sorts thousands of candidate rows instead of |corpus|·|queries|.
+    Falls back to the crossJoin plan past
+    ``BRUTEFORCE_VECTORIZED_MAX_QUERIES``."""
     c = with_unit_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cu")
     )
     q = with_unit_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    # vectorized path requires integral ids (they round-trip through numpy
+    # arrays and a declared long schema); size-probe via limit: collect at
+    # most cap+1 rows — over the cap the head is discarded and the
+    # crossJoin fallback runs
+    q_rows = None
+    int_ids = isinstance(
+        c.schema["neighbor_id"].dataType, T.LongType
+    ) and isinstance(q.schema["query_id"].dataType, T.LongType)
+    if int_ids:
+        q_head = q.limit(BRUTEFORCE_VECTORIZED_MAX_QUERIES + 1).collect()
+        if len(q_head) <= BRUTEFORCE_VECTORIZED_MAX_QUERIES:
+            q_rows = q_head
+    if q_rows is not None and len(q_rows) > 0:
+        spark = corpus.sparkSession
+        qids = np.array([r["query_id"] for r in q_rows])
+        qmat = np.vstack([np.asarray(r["_qu"], dtype=np.float64)
+                          for r in q_rows])
+        bc = spark.sparkContext.broadcast((qids, qmat))
+        kk = int(k)
+
+        def score(batches):
+            qi, qm = bc.value
+            nq, dim = qm.shape
+            for pdf in batches:
+                b = len(pdf)
+                if b == 0:
+                    continue
+                C = np.vstack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pdf["_cu"].to_numpy()]
+                )
+                nid = pdf["neighbor_id"].to_numpy()
+                acc = np.zeros((b, nq))
+                # dimension-ascending fold == the JVM aggregate's order:
+                # bit-identical doubles
+                for d in range(dim):
+                    acc += C[:, d][:, None] * qm[:, d][None, :]
+                out_q, out_n, out_c = [], [], []
+                for j in range(nq):
+                    col = acc[:, j]
+                    mask = nid != qi[j]
+                    cj, nj = col[mask], nid[mask]
+                    if len(cj) == 0:
+                        continue
+                    # exact batch top-k under (cosine desc, id asc)
+                    order = np.lexsort((nj, -cj))[:kk]
+                    out_q.append(np.full(len(order), qi[j]))
+                    out_n.append(nj[order])
+                    out_c.append(cj[order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_n),
+                            "cosine": np.concatenate(out_c),
+                        }
+                    )
+
+        scored = c.mapInPandas(
+            score, schema="query_id long, neighbor_id long, cosine double"
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -66,9 +151,6 @@ def cosine_topk_bruteforce(
             "neighbor_id",
             _dot(F.col("_cu"), F.col("_qu")).alias("cosine"),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

@@ -60,6 +60,12 @@ from metagraph_spark.state import LineageManager, truncate_lineage
 CLOSENESS_ALL_NODES_LIMIT = 100_000
 BETWEENNESS_MAX_EDGES = 50_000_000
 
+# Above this vertex count the fixed-superstep katz loop stops broadcasting
+# the |V|-row state into the gather join (guide §3.1 sizing: ~16 B/row plus
+# framing — ~0.5 GB at the cap, built once per superstep) and falls back to
+# the shuffled superstep plan. Scale-adaptive, not core-count-dependent.
+KATZ_BROADCAST_MAX_VERTICES = 16_000_000
+
 
 def _weighted_edges(graph: Graph) -> DataFrame:
     e = graph.symmetrized()
@@ -138,15 +144,92 @@ def katz_centrality(
                     built.unpersist()
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = _weighted_edges(graph).repartition(n_part, SRC).persist()
     n = graph.num_nodes()
     nodes = graph.node_ids()
     alpha, beta = attenuation_factor, immediate_neighbor_weight
+    lineage = LineageManager()
+    if fixed_iterations is not None and n <= KATZ_BROADCAST_MAX_VERTICES:
+        # Fixed-superstep fast path (guide §2.4/§3.1): the edge cache is
+        # keyed by DST and the |V|-row state BROADCAST into the gather
+        # join, so the per-superstep aggregation is partition-local and
+        # the whole superstep is ONE shuffle-free stage (plan-asserted in
+        # tests). No convergence test -> no per-superstep observe, and no
+        # merge-back join either: every node with an in-edge appears in
+        # the gather, the rest sit at the constant β (α·g+β ≡
+        # α·coalesce(g,0)+β for covered rows, β ≡ α·0+β for the rest —
+        # bit-identical to the merge-join form the oracle unrolls).
+        # Broadcasting V rows per superstep stops being reasonable past
+        # the vertex cap; larger graphs take the shuffle loop below.
+        edges = _weighted_edges(graph).repartition(n_part, DST).persist()
+        edges.count()  # materialize so round plans see the DST layout
+        nodes_m = truncate_lineage(nodes)
+        state = truncate_lineage(
+            nodes_m.select(ID, F.lit(0.0).alias("v"))
+        )
+        no_in = truncate_lineage(
+            nodes_m.join(
+                edges.select(F.col(DST).alias(ID)).distinct(), ID, "left_anti"
+            ).select(ID, F.lit(float(beta)).alias("v"))
+        )
+        for _ in range(fixed_iterations):
+            gather = (
+                edges.join(
+                    F.broadcast(state.select(F.col(ID).alias(SRC), "v")),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias(ID))
+                .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g"))
+            )
+            state = truncate_lineage(
+                gather.select(
+                    ID, (F.lit(alpha) * F.col("g") + F.lit(beta)).alias("v")
+                ).unionAll(no_in)
+            )
+        row = state.agg(F.sum(F.col("v") * F.col("v")).alias("s")).collect()[0]
+        sumsq = row["s"]
+        norm = 1.0 / math.sqrt(sumsq) if sumsq and sumsq > 0 else 1.0
+        out = state.select(ID, (F.col("v") * F.lit(norm)).alias("katz"))
+        edges.unpersist()
+        return out
+    edges = _weighted_edges(graph).repartition(n_part, SRC).persist()
     state = truncate_lineage(
         nodes.select(ID, F.lit(0.0).alias("v")).repartition(n_part, ID)
     )
-    lineage = LineageManager()
-    total = fixed_iterations if fixed_iterations is not None else maxiter
+    if fixed_iterations is not None:
+        # large-graph fixed path: same superstep plan as the convergence
+        # loop, minus the error observe (no convergence test needed)
+        for _ in range(fixed_iterations):
+            gather = (
+                edges.join(
+                    state.select(F.col(ID).alias(SRC), "v").hint(
+                        "shuffle_hash"
+                    ),
+                    SRC,
+                )
+                .groupBy(F.col(DST).alias(ID))
+                .agg(F.sum(F.col("v") * F.col(WEIGHT)).alias("g"))
+            )
+            new_state = (
+                state.select(ID)
+                .join(gather.hint("shuffle_hash"), ID, "left")
+                .select(
+                    ID,
+                    (
+                        F.lit(alpha) * F.coalesce("g", F.lit(0.0))
+                        + F.lit(beta)
+                    ).alias("v"),
+                )
+            )
+            state = lineage.materialize(new_state)
+        row = state.agg(F.sum(F.col("v") * F.col("v")).alias("s")).collect()[0]
+        sumsq = row["s"]
+        norm = 1.0 / math.sqrt(sumsq) if sumsq and sumsq > 0 else 1.0
+        out = lineage.finalize(state).select(
+            ID, (F.col("v") * F.lit(norm)).alias("katz")
+        )
+        edges.unpersist()
+        return out
+    total = maxiter
     sumsq = None
     for it in range(total):
         # shuffle_hash: hash-build the |V|-row vertex side instead of

@@ -155,19 +155,31 @@ def _two_phase_cc(
     small-star(u): every smaller neighbor re-hooks to the minimum one.
     Convergence: both phases observe their rewritten-edge count on the SAME
     materialization action (an edge is rewritten when its new endpoint
-    differs from the old one); a round where neither phase rewrote
-    anything means the set is already a stable star forest — no extra
-    confirmation round. Final labels: star leaves take their center,
-    centers and isolates themselves."""
+    differs from the old one; duplicate rows count multiply, which only
+    matters for the ==0 test and is zero exactly when the set is a stable
+    star forest); a round where neither phase rewrote anything means no
+    extra confirmation round. Final labels: star leaves take their center,
+    centers and isolates themselves.
+
+    Plan shape (round 6, guide §2.4): each phase repartitions ONCE by its
+    output ``u`` and every aggregation/join below that runs
+    partition-local (``HashPartitioning(u)`` satisfies every clustering
+    keyed on ``u``/``(u,v)``), so a round is exactly THREE edge-sized
+    exchanges — sym 2|E|, large-star |E|, small-star |E| — instead of the
+    previous ~6 (each distinct/groupBy/join paid its own). Dedup happens
+    once per round (on the small-star output, where the star collapse
+    actually shrinks the set); the large-star intermediate stays a
+    multiset, which min() and the ==0 observes are insensitive to."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     E = (
         edges.filter(F.col(SRC) != F.col(DST))
         .select(
             F.greatest(SRC, DST).alias("u"), F.least(SRC, DST).alias("v")
         )
-        .distinct()
+        .repartition(n_part, "u")
+        .dropDuplicates(["u", "v"])
     )
-    E = truncate_lineage(E.repartition(n_part, "u"))
+    E = truncate_lineage(E)
     if not E.take(1):
         # edgeless after self-loop removal: every node is its own star.
         # Must exit BEFORE the loop — AQE's empty-relation propagation
@@ -177,16 +189,17 @@ def _two_phase_cc(
             nodes.select(ID, F.col(ID).alias("label"))
         )
     for rnd in range(max_rounds):
-        # LARGE-STAR: m over ALL neighbors (both directions)
+        # LARGE-STAR: m over ALL neighbors (both directions); one 2|E|
+        # exchange, then the min-agg and the re-hook join share it
         sym = E.unionAll(
             E.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        ).repartition(n_part, "u")
         m = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
             "u", F.least("_mv", "u").alias("m")
         )
         obs_ls = Observation(f"cc2p_ls_{rnd}")
         ls = (
-            sym.join(m, "u")
+            sym.join(m.hint("shuffle_hash"), "u")
             .filter(F.col("v") > F.col("u"))
             .select(
                 F.col("v").alias("u"),
@@ -197,14 +210,17 @@ def _two_phase_cc(
                 obs_ls, F.count(F.when(F.col("_ch"), 1)).alias("changed")
             )
             .select("u", "v")
-            .distinct()
+            .repartition(n_part, "u")
+            # partition-local dedup (hash(u) satisfies (u,v) clustering):
+            # shrinks everything small-star touches at zero exchange cost
+            .dropDuplicates(["u", "v"])
         )
         # SMALL-STAR on the canonical (u > v) set: re-hook smaller
         # neighbors to the minimum one, keep (u, min)
         mn = ls.groupBy("u").agg(F.min("v").alias("m"))
         obs_ss = Observation(f"cc2p_ss_{rnd}")
         ss = (
-            ls.join(mn, "u")
+            ls.join(mn.hint("shuffle_hash"), "u")
             .select(
                 F.when(F.col("v") == F.col("m"), F.col("u"))
                 .otherwise(F.col("v"))
@@ -217,9 +233,10 @@ def _two_phase_cc(
             )
             .select("u", "v")
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            .repartition(n_part, "u")
+            .dropDuplicates(["u", "v"])
         )
-        E = truncate_lineage(ss.repartition(n_part, "u"))
+        E = truncate_lineage(ss)
         if obs_ls.get["changed"] == 0 and obs_ss.get["changed"] == 0:
             star_min = E.groupBy(F.col("u").alias(ID)).agg(
                 F.min("v").alias("_c")

@@ -75,10 +75,14 @@ def _series_mul(
 
     State stays SPARSE: absent rows are exact zeros, contribute nothing to
     the next product, and are materialized only once at the very end — so a
-    superstep is exactly two shuffles (product join+agg, outer-merge into
-    the accumulator), never a third re-densify over |V|."""
+    superstep is exactly ONE shuffle (the product join+agg); the series
+    accumulation is a SINGLE union + groupBy-sum after the last term
+    (round 6, guide §2.4 — the previous per-term outer-merge join paid a
+    second |V|-row shuffle and materialization in every superstep; the
+    union-sum pays one, total, and is associativity-equivalent: float sums
+    reorder within the numpy-twin test tolerance)."""
     t = state
-    acc = None
+    parts = []
     for _ in range(k_terms):
         prod = (
             edges.join(
@@ -96,23 +100,15 @@ def _series_mul(
             )
         )
         t = truncate_lineage(prod)
-        acc = t if acc is None else truncate_lineage(
-            acc.join(
-                t.select(ID, *[F.col(c).alias(f"_t_{c}") for c in cols]),
-                ID,
-                "outer",
-            ).select(
-                ID,
-                *[
-                    (
-                        F.coalesce(F.col(c), F.lit(0.0))
-                        + F.coalesce(F.col(f"_t_{c}"), F.lit(0.0))
-                    ).alias(c)
-                    for c in cols
-                ],
-            )
-        )
-    return acc
+        parts.append(t)
+    if len(parts) == 1:
+        return parts[0]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionAll(p)
+    return truncate_lineage(
+        acc.groupBy(ID).agg(*[F.sum(F.col(c)).alias(c) for c in cols])
+    )
 
 
 def _gram(df: DataFrame, cols: list) -> np.ndarray:

@@ -34,6 +34,13 @@ from pyspark.sql import functions as F
 from metagraph_spark.graph import DST, ID, SRC, Graph
 from metagraph_spark.state import CheckpointManager, truncate_lineage
 
+# Above this vertex count the per-round label broadcast (16 B/row plus
+# framing — ~0.5 GB at the cap, held once per executor) stops being
+# reasonable and the vote join falls back to the shuffle plan. Same
+# size-routing philosophy as the broadcast-join threshold (guide §3.1);
+# scale-adaptive, not core-count-dependent.
+LPA_BROADCAST_MAX_VERTICES = 16_000_000
+
 
 def label_propagation_community(
     graph: Graph,
@@ -43,6 +50,7 @@ def label_propagation_community(
     strategy: str = "auto",
     kernel_max_vertices: int | None = None,
     kernel_spill_dir: str | None = None,
+    broadcast_max_vertices: int | None = None,
 ) -> DataFrame:
     """Return NodeMap ``(id: long, label: long)``.
 
@@ -92,20 +100,84 @@ def label_propagation_community(
             )
     spark = graph.edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = Graph(
-        edges=graph.canonical_undirected_edges().select(SRC, DST),
-        is_directed=False,
-    ).symmetrized()
-    # self-loops implement the one-self-vote rule; persist once for the
-    # loop, SRC-partitioned so the per-round vote join never re-shuffles
-    # the 2|E|+V-row table (only the |V|-row label state moves)
-    sym = (
-        sym.unionAll(
-            graph.node_ids().select(F.col(ID).alias(SRC), F.col(ID).alias(DST))
-        )
-        .repartition(n_part, SRC)
-        .persist()
+    cap_b = (
+        broadcast_max_vertices
+        if broadcast_max_vertices is not None
+        else LPA_BROADCAST_MAX_VERTICES
     )
+
+    # One-exchange layout (guide §2.3/§2.4): the canonical-both-directions
+    # vote edge set is produced by ONE repartition of e ∪ reverse(e) by the
+    # loop's key column, with the canonical dedup running partition-local
+    # on top (dedup of the symmetric set by (src,dst) ≡ canonical-pair
+    # dedup then symmetrize). Self-loop vote rows are GONE — the one
+    # self-vote is folded into the winner criterion algebraically (below),
+    # which also removes the |V|-row node_ids distinct from the layout.
+    def _build_sym(part_col):
+        e = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+        s = (
+            e.unionAll(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+            )
+            .repartition(n_part, part_col)
+            .dropDuplicates([SRC, DST])
+            .persist()
+        )
+        # materialize BEFORE the first round is planned: an unmaterialized
+        # cache under AQE reports UnknownPartitioning, and the planner
+        # would bake a full |E|-row Exchange into round 1 (and, in
+        # broadcast mode, into EVERY round's aggregations) that the
+        # now-known layout makes unnecessary
+        s.count()
+        return s
+
+    # Vote-plan routing (guide §2.4/§3.1): the per-round vote count is two
+    # nested aggregations keyed by dst — lay the edge cache out by DST
+    # once and BROADCAST the |V|-row label state into the vote joins, and
+    # BOTH aggregations run partition-local: a round has ZERO data-sized
+    # exchanges (plan-asserted in tests). Broadcasting V rows stops being
+    # reasonable past ``LPA_BROADCAST_MAX_VERTICES``; the fallback keys
+    # the edge cache by SRC (the label join side) and pays ONE |E|-row
+    # exchange re-keying the joined votes to DST — still one fewer
+    # full-edge shuffle than aggregating by (dst,label) then by dst.
+    # The layout is built DST-keyed optimistically (V is not known until
+    # the endpoints of the deduped set are counted — a partition-local
+    # aggregate on this layout); the giant-V fallback re-keys it once.
+    sym = _build_sym(DST)
+    # node set = endpoints of the deduped vote set (a partition-local
+    # distinct on the cached layout) ∪ self-loop-only nodes ∪ explicit
+    # isolate nodes — the latter two are tiny (self-loop rows are filtered
+    # before their distinct) and exist so the node universe matches
+    # graph.node_ids() exactly
+    endpoints = sym.select(F.col(DST).alias(ID)).distinct()
+    extra = graph.edges.filter(F.col(SRC) == F.col(DST)).select(
+        F.col(SRC).alias(ID)
+    )
+    if graph.nodes is not None:
+        extra = extra.unionAll(graph.nodes.select(ID))
+    extra = truncate_lineage(extra.distinct())
+    nodes = truncate_lineage(endpoints.unionAll(extra).distinct())
+    use_bcast = nodes.count() <= cap_b
+    if not use_bcast:
+        old = sym
+        sym = _build_sym(SRC)
+        old.unpersist()
+    # nodes with no (non-self) edges never receive a neighbor vote and
+    # keep their own label forever (one self-vote over the empty neighbor
+    # multiset); candidates can only come from ``extra``
+    isolates = truncate_lineage(
+        extra.join(endpoints, ID, "left_anti").select(
+            ID, F.col(ID).alias("label")
+        )
+    )
+    if not isolates.take(1):
+        isolates = None
+    if not sym.take(1):
+        # edgeless graph: every node keeps its own label in every round
+        # (exit before the loop — same AQE empty-relation observe hazard
+        # as components._two_phase_cc)
+        sym.unpersist()
+        return nodes.select(ID, F.col(ID).alias("label"))
 
     start_round = 0
     labels = None
@@ -120,29 +192,82 @@ def label_propagation_community(
             start_round = latest + 1
     if labels is None:
         labels = truncate_lineage(
-            graph.node_ids().select(ID, F.col(ID).alias("label"))
+            nodes.select(ID, F.col(ID).alias("label"))
         )
 
     total = fixed_rounds if fixed_rounds is not None else max_rounds
     rnd = start_round
     while rnd < total:
-        # shuffle_hash: hash-build the |V|-row label side; SMJ would sort
-        # the src-partitioned edge cache every round (operators/pagerank.py
-        # measurement)
-        votes = (
-            sym.join(
-                labels.select(F.col(ID).alias(SRC), "label").hint(
-                    "shuffle_hash"
-                ),
-                SRC,
+        # The one-self-vote rule, folded into the winner criterion instead
+        # of materialized self-loop edge rows: with c(m) = neighbor votes
+        # for label m and ℓ = the node's own current label, the old vote
+        # multiset scored every m as c(m) + [m = ℓ]. Equivalently: score
+        # neighbor-voted labels as c(m) + [m = ℓ] and take the min of that
+        # argmin-struct with the constant candidate (-1, ℓ) — identical
+        # winner for every case (ℓ neighbor-voted: the (-1, ℓ) candidate
+        # is dominated; ℓ not voted: it is exactly the self-vote). The
+        # node's own label reaches the vote rows through a second join on
+        # DST, which in broadcast mode reuses the same broadcast relation
+        # and preserves the dst partitioning.
+        lab_src = labels.select(F.col(ID).alias(SRC), F.col("label"))
+        lab_own = labels.select(F.col(ID).alias(DST), F.col("label").alias("own"))
+        if use_bcast:
+            # dst-keyed edge cache + broadcast label build sides: both
+            # joins preserve the DST partitioning, so both aggregations
+            # below need no exchange
+            joined = sym.join(F.broadcast(lab_src), SRC).join(
+                F.broadcast(lab_own), DST
             )
-            .groupBy(F.col(DST).alias(ID), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        else:
+            # shuffle_hash: hash-build the |V|-row label sides; SMJ would
+            # sort the src-partitioned edge cache every round
+            # (operators/pagerank.py measurement). One explicit re-key to
+            # DST, then the own-label join and both aggregations are
+            # partition-local on the dst key.
+            joined = (
+                sym.join(lab_src.hint("shuffle_hash"), SRC)
+                .repartition(n_part, DST)
+                .join(lab_own.hint("shuffle_hash"), DST)
+            )
+        votes = joined.groupBy(
+            F.col(DST).alias(ID), F.col("label"), F.col("own")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        # argmax by (count desc, label asc): min over struct(-eff, label),
+        # eff = cnt + [label = own]; then fold in the (-1, own) candidate
+        winners = votes.groupBy(ID, F.col("own")).agg(
+            F.min(
+                F.struct(
+                    (
+                        -(
+                            F.col("cnt")
+                            + (F.col("label") == F.col("own")).cast("long")
+                        )
+                    ).alias("nc"),
+                    F.col("label"),
+                )
+            ).alias("w")
+        ).select(
+            ID,
+            F.least(
+                F.col("w"),
+                F.struct(
+                    F.lit(-1).cast("long").alias("nc"),
+                    F.col("own").alias("label"),
+                ),
+            )["label"].alias("new_label"),
         )
-        # argmax by (count desc, label asc): min over struct(-cnt, label)
-        winners = votes.groupBy(ID).agg(
-            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label"))).alias("w")
-        ).select(ID, F.col("w.label").alias("new_label"))
+        if fixed_rounds is not None and checkpointer is None:
+            # winners covers every node with at least one incident edge,
+            # and isolates keep their own initial label: the merge-back
+            # join and the changed-count observe exist only for
+            # convergence detection / checkpointed state — a fixed-round
+            # run needs neither (values identical)
+            new_labels = winners.withColumnRenamed("new_label", "label")
+            if isolates is not None:
+                new_labels = new_labels.unionAll(isolates)
+            labels = truncate_lineage(new_labels)
+            rnd += 1
+            continue
         new_labels = (
             labels.join(winners, ID, "left")
             .select(
@@ -162,7 +287,6 @@ def label_propagation_community(
         else:
             new_labels = truncate_lineage(new_labels)
         changed = obs.get["changed"]
-        labels.unpersist()
         labels = new_labels.drop("_changed")
         rnd += 1
         if fixed_rounds is None and changed == 0:

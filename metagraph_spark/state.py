@@ -84,6 +84,24 @@ class CheckpointManager:
             return [json.loads(line) for line in f if line.strip()]
 
 
+# Debug hook (bench_extra.py plan capture): when set to a list, every
+# superstep materialization appends its pre-execution formatted plan here.
+# None in production — zero cost.
+PLAN_SINK: list | None = None
+
+
+def _capture_plan(df: DataFrame) -> None:
+    if PLAN_SINK is not None:
+        try:
+            PLAN_SINK.append(
+                df.sparkSession._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+            )
+        except Exception:
+            pass
+
+
 def truncate_lineage(df: DataFrame) -> DataFrame:
     """Break lineage without durability (localCheckpoint, eager), and RESET
     plan statistics.
@@ -101,6 +119,7 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     stats instead. Join strategy is unaffected in practice: AQE (enabled
     session-wide, ``session.py``) re-plans joins from RUNTIME sizes, which
     the carried-forward estimates misstated anyway."""
+    _capture_plan(df)
     ck = df.localCheckpoint(eager=True)
     try:
         jdf = ck._jdf
@@ -124,6 +143,7 @@ def truncate_lineage_partitioned(
     re-joins its vertex state against col-partitioned edges pays a
     planner-inserted |V|-row Exchange per superstep even though the
     checkpointed RDD is ALREADY physically hash-partitioned. This variant:
+    (plan capture: see module-level ``PLAN_SINK``)
 
     1. eagerly localCheckpoints ``df``;
     2. inspects the executed adaptive plan's FINAL stage partitioning; if
@@ -138,6 +158,7 @@ def truncate_lineage_partitioned(
     The stamped claim is only ever attached to an RDD whose layout was
     either observed (2) or forced (3) to match. Falls back to the plain
     stats-reset checkpoint on internal-API drift / Spark Connect."""
+    _capture_plan(df)
     ck = df.localCheckpoint(eager=True)
     try:
         spark = df.sparkSession

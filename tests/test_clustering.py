@@ -81,6 +81,34 @@ def test_connected_components_isolates_and_random(spark):
     assert partition_of(labels.collect()) == union_find_oracle(edges, nodes)
 
 
+def test_two_phase_cc_matches_hash_min(spark):
+    """Round-6 plan rewrite (single dedup per round, partition-local
+    aggs/joins under one repartition per phase): labels must stay exactly
+    the hash-min path's min-id-per-component on varied shapes."""
+    import random
+
+    from metagraph_spark.operators.components import _two_phase_cc
+
+    rng = random.Random(11)
+    shapes = [
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(500)],
+        [(i, i + 1) for i in range(200)],  # long path: O(log V) rounds
+        [(0, i) for i in range(1, 80)] + [(500 + i, 900 + i)
+                                          for i in range(30)],
+        [(5, 5), (7, 7), (1, 2)],  # self-loops only + one edge
+    ]
+    for edges in shapes:
+        g = build(df_from_edges(spark, edges, weighted=False),
+                  is_directed=False)
+        two = _two_phase_cc(
+            spark, g.edges.select("src", "dst"), g.node_ids(), 50
+        )
+        ref = connected_components(g, strategy="join")
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+
 def test_lpa_golden_partition(spark):
     g = build(df_from_edges(spark, CC_EDGES), is_directed=False)
     labels = label_propagation_community(g)
