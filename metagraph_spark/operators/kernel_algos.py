@@ -237,6 +237,55 @@ def katz_kernel(
         weighted = eb.has_weights
         alpha, beta = attenuation_factor, immediate_neighbor_weight
         total_d = fixed_iterations if fixed_iterations is not None else maxiter
+        # round-6 size route: small layouts run every superstep on the
+        # driver over the block arrays (no Spark job per superstep — see
+        # kernel.KERNEL_DRIVER_LOOP_MAX_EDGES); per-block bincount + slice
+        # accumulation is the identical arithmetic, so values are
+        # bit-exact with both distributed loops.
+        from metagraph_spark.operators.kernel import (
+            KERNEL_DRIVER_LOOP_MAX_VERTICES,
+            driver_block_arrays,
+        )
+
+        blks = (
+            driver_block_arrays(eb)
+            if n <= KERNEL_DRIVER_LOOP_MAX_VERTICES
+            else None
+        )
+        if blks is not None:
+            x = np.zeros(n)
+            err = None
+            for it in range(total_d):
+                g_vec = np.zeros(n)
+                for lo, srcs, dsts, ws in blks:
+                    if len(srcs) == 0:
+                        continue
+                    w = x[srcs]
+                    if ws is not None:
+                        w = w * ws
+                    g = np.bincount(dsts, weights=w)
+                    g_vec[lo : lo + len(g)] += g
+                new_x = alpha * g_vec + beta
+                err = float(np.abs(new_x - x).sum())
+                if metrics_sink is not None:
+                    metrics_sink.append({"iteration": it, "l1_error": err})
+                x = new_x
+                if fixed_iterations is None and err < n * tolerance:
+                    break
+            else:
+                if fixed_iterations is None:
+                    raise ConvergenceError(
+                        f"katz failed to converge in {maxiter} iterations "
+                        f"(err={err!r})"
+                    )
+            sumsq = float((x * x).sum())
+            norm = 1.0 / math.sqrt(sumsq) if sumsq > 0 else 1.0
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {"id": np.asarray(eb.node_ids), "katz": x * norm}
+                ),
+                schema="id long, katz double",
+            )
         if file_backed and eb.spill_dir:
             r_df = _distributed_katz_loop(
                 eb, alpha, beta, total_d, tolerance, fixed_iterations,
@@ -811,8 +860,23 @@ def cc_kernel(
             "hold a prior run's vectors)"
         )
     if isinstance(graph_or_blocks, Graph):
+        spark = graph_or_blocks.edges.sparkSession
+        if slice_store is None and not resume and spill_dir is None:
+            # round-6 small-graph route: skip the block-layout Spark jobs
+            # entirely — one Arrow collect of the edge pairs, then the
+            # whole loop on the driver (identical labels; see
+            # _driver_graph_arrays / _driver_cc_loop)
+            arrs = _driver_graph_arrays(graph_or_blocks, "raw_sym")
+            if arrs is not None:
+                ids, srcs, dsts = arrs
+                if len(ids) == 0:
+                    return spark.createDataFrame([], "id long, label long")
+                return _driver_cc_loop(
+                    spark, len(ids), [(0, srcs, dsts, None)], ids,
+                    max_rounds, fixed_rounds,
+                )
         eb = cc_blocks(graph_or_blocks, spill_dir=spill_dir)
-        owned, spark = True, graph_or_blocks.edges.sparkSession
+        owned = True
     else:
         eb, owned, spark = _resolve_blocks(graph_or_blocks)
     try:
@@ -821,6 +885,26 @@ def cc_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
+        # round-6 size route: small layouts run the whole hash-min loop on
+        # the driver over the block arrays (no per-round Spark job); the
+        # per-block segmented-min + slice-minimum is the identical integer
+        # arithmetic, so labels are exactly the distributed loops'. Never
+        # when a durable slice-store contract is in play.
+        if slice_store is None and not resume:
+            from metagraph_spark.operators.kernel import (
+                KERNEL_DRIVER_LOOP_MAX_VERTICES,
+                driver_block_arrays,
+            )
+
+            blks = (
+                driver_block_arrays(eb)
+                if n <= KERNEL_DRIVER_LOOP_MAX_VERTICES
+                else None
+            )
+            if blks is not None:
+                return _driver_cc_loop(
+                    spark, n, blks, eb.node_ids, max_rounds, fixed_rounds
+                )
         if file_backed and (eb.spill_dir or slice_store is not None):
             r_df = _distributed_cc_loop(
                 eb, max_rounds, fixed_rounds, slice_store=slice_store,
@@ -932,6 +1016,188 @@ def _segmented_mode(dsts: np.ndarray, labs: np.ndarray):
     return run_d[seg_starts], run_w[win_idx]
 
 
+def _driver_graph_arrays(graph: Graph, edge_mode: str):
+    """(sorted_ids, src_pos, dst_pos) for a SMALL graph, built entirely on
+    the driver (one Arrow ``toPandas`` of the edge pairs — no block-layout
+    Spark jobs), or ``None`` past the driver-loop caps. ``edge_mode``:
+    ``"raw_sym"`` (both directions of the raw rows — cc_blocks' edge set)
+    or ``"canonical_sym"`` (deduplicated canonical pairs, self-loops
+    dropped, both directions — label_blocks' edge set). Node universe =
+    edge endpoints ∪ explicit graph.nodes, exactly ``node_ids()``. Output
+    is dst-position sorted like packed blocks, so the driver loops and
+    their segmented kernels apply unchanged (identical label results)."""
+    from metagraph_spark.operators.kernel import (
+        KERNEL_DRIVER_LOOP_MAX_EDGES,
+        KERNEL_DRIVER_LOOP_MAX_VERTICES,
+    )
+
+    if KERNEL_DRIVER_LOOP_MAX_EDGES < 0:
+        return None
+    if graph.num_edges() > KERNEL_DRIVER_LOOP_MAX_EDGES:
+        return None
+    pdf = graph.edges.select(SRC, DST).toPandas()
+    s = pdf[SRC].to_numpy(dtype=np.int64)
+    d = pdf[DST].to_numpy(dtype=np.int64)
+    endpoints = [s, d]
+    if graph.nodes is not None:
+        endpoints.append(
+            graph.nodes.select(ID).toPandas()[ID].to_numpy(dtype=np.int64)
+        )
+    ids = np.unique(np.concatenate(endpoints))
+    n = len(ids)
+    if n > KERNEL_DRIVER_LOOP_MAX_VERTICES:
+        return None
+    sp = np.searchsorted(ids, s)
+    dp = np.searchsorted(ids, d)
+    if edge_mode == "canonical_sym":
+        keep = sp != dp
+        lo = np.minimum(sp[keep], dp[keep])
+        hi = np.maximum(sp[keep], dp[keep])
+        uniq = np.unique(lo * np.int64(n) + hi)
+        lo = uniq // n
+        hi = uniq - lo * n
+        src_pos = np.concatenate([lo, hi])
+        dst_pos = np.concatenate([hi, lo])
+    else:
+        src_pos = np.concatenate([sp, dp])
+        dst_pos = np.concatenate([dp, sp])
+    order = np.argsort(dst_pos, kind="stable")
+    return ids, src_pos[order], dst_pos[order]
+
+
+def _driver_cc_loop(spark, n, blks, ids, max_rounds, fixed_rounds):
+    """Hash-min loop over driver-resident block arrays (see
+    ``kernel.KERNEL_DRIVER_LOOP_MAX_EDGES``): per-block segmented-min +
+    slice-minimum, pointer jumping on the converged path — the identical
+    integer arithmetic as the feed/distributed loops, no per-round Spark
+    job."""
+    lab = np.arange(n, dtype=np.int64)
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    rnd = 0
+    while rnd < total:
+        m_vec = np.full(n, _IMAX, dtype=np.int64)
+        for lo, srcs, dsts, _ws in blks:
+            if len(srcs) == 0:
+                continue
+            m = _segmented_min(dsts, lab[srcs])
+            seg = m_vec[lo : lo + len(m)]
+            np.minimum(seg, m, out=seg)
+        new_lab = np.minimum(lab, np.where(m_vec == _IMAX, lab, m_vec))
+        changed = int((new_lab != lab).sum())
+        rnd += 1
+        if fixed_rounds is None:
+            while True:
+                nl = new_lab[new_lab]
+                if np.array_equal(nl, new_lab):
+                    break
+                new_lab = nl
+        lab = new_lab
+        if fixed_rounds is None and changed == 0:
+            break
+    else:
+        if fixed_rounds is None:
+            raise ConvergenceError(
+                f"connected_components kernel did not stabilize in "
+                f"{max_rounds} rounds"
+            )
+    ids = np.asarray(ids)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "label": ids[lab]}),
+        schema="id long, label long",
+    )
+
+
+def _driver_lpa_loop(spark, n, blks, ids, baked, max_rounds, fixed_rounds):
+    """Synchronous-LPA loop over driver-resident block arrays — identical
+    votes/winners as the feed/distributed loops, no per-round Spark job."""
+    lab = np.arange(n, dtype=np.int64)
+    total = fixed_rounds if fixed_rounds is not None else max_rounds
+    for _ in range(total):
+        new_lab = lab.copy()
+        for lo, srcs, dsts, _ws in blks:
+            if len(srcs) == 0:
+                continue
+            uniq, win = _mode_votes(dsts, lab[srcs], lab[lo:], not baked)
+            new_lab[lo + uniq] = win
+        changed = int((new_lab != lab).sum())
+        lab = new_lab
+        if fixed_rounds is None and changed == 0:
+            break
+    ids = np.asarray(ids)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "label": ids[lab]}),
+        schema="id long, label long",
+    )
+
+
+# Segments at least this long take the dense-bincount mode path inside
+# ``_mode_votes`` instead of entering the composite-key sort.
+_BIG_SEG = 4096
+
+
+def _mode_votes(dsts, labs, prev_tail, include_self_votes: bool):
+    """Per-local-dst modal label (ties to the smallest label) over
+    dst-sorted neighbor votes, with the one-self-vote rule applied
+    ALGEBRAICALLY when ``include_self_votes`` (+1 to the dst's own
+    previous label — exactly the synthetic self-vote row's effect; a lone
+    self-vote on an unvoted position is a no-op either way, so only voted
+    dsts need it). Returns ``(uniq_local_dsts, winners)``.
+
+    Skew guard (guide §2.5, round 6): hub-degree segments (>= _BIG_SEG
+    rows) are counted with a dense ``np.bincount`` + ``argmax`` — O(rows)
+    per segment, first-max == smallest label, identical winner — instead
+    of entering the composite sort: on the 100M-edge Zipf bench one block
+    held a 65M-row hub segment and its single-threaded sort was 55 s of a
+    57 s round. Small segments keep the measured-fast composite-key sort
+    (:func:`_segmented_mode`). ``prev_tail`` is the previous label vector
+    FROM the block's dst_lo onward (indexed by local dst)."""
+    dsts = np.asarray(dsts, dtype=np.int64)
+    labs = np.asarray(labs, dtype=np.int64)
+    if len(dsts) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if not np.all(dsts[:-1] <= dsts[1:]):
+        order = np.argsort(dsts, kind="stable")
+        dsts, labs = dsts[order], labs[order]
+    starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
+    lens = np.diff(np.r_[starts, len(dsts)])
+    seg_d = dsts[starts]
+    big = lens >= _BIG_SEG
+    big_d, big_w = [], []
+    for i in np.flatnonzero(big):
+        s = int(starts[i])
+        seg = labs[s : s + int(lens[i])]
+        cnt = np.bincount(seg)
+        d_loc = int(seg_d[i])
+        if include_self_votes:
+            own = int(prev_tail[d_loc])
+            if own >= len(cnt):
+                cnt = np.concatenate(
+                    [cnt, np.zeros(own - len(cnt) + 1, dtype=cnt.dtype)]
+                )
+            cnt[own] += 1
+        big_d.append(d_loc)
+        big_w.append(int(np.argmax(cnt)))
+    if big.all():
+        return (
+            np.asarray(big_d, dtype=np.int64),
+            np.asarray(big_w, dtype=np.int64),
+        )
+    row_small = np.repeat(~big, lens)
+    d_small = dsts[row_small]
+    l_small = labs[row_small]
+    if include_self_votes:
+        sd = seg_d[~big]
+        d_small = np.concatenate([d_small, sd])
+        l_small = np.concatenate(
+            [l_small, np.asarray(prev_tail)[sd]]
+        )
+    uniq, win = _segmented_mode(d_small, l_small)
+    if big_d:
+        uniq = np.concatenate([uniq, np.asarray(big_d, dtype=np.int64)])
+        win = np.concatenate([win, np.asarray(big_w, dtype=np.int64)])
+    return uniq, win
+
+
 def _distributed_lpa_loop(
     eb: EdgeBlocks, max_rounds: int, fixed_rounds: int | None,
     slice_store=None, resume: bool = False,
@@ -1004,22 +1270,14 @@ def _distributed_lpa_loop(
                     prev_slice = np.asarray(prev[lo:hi])
                     new_slice = prev_slice.copy()
                     if len(srcs):
-                        dsts = np.asarray(dsts, dtype=np.int64)
+                        # self-votes applied algebraically inside
+                        # _mode_votes (one per voted dst — identical
+                        # winners to the synthetic suffix rows; unvoted
+                        # positions keep prev either way)
                         labs = np.asarray(prev)[srcs]
-                        if not baked:
-                            # synthetic self-vote suffix: one (p, prev[p])
-                            # vote per position in this block's range —
-                            # exactly the baked self-loop rows' votes,
-                            # without a second layout pass. A self-vote
-                            # alone never changes a label (mode of
-                            # {prev[p]} = prev[p]), so ranges with no
-                            # neighbor votes stay no-ops either way.
-                            width = hi - lo
-                            dsts = np.concatenate(
-                                [dsts, np.arange(width, dtype=np.int64)]
-                            )
-                            labs = np.concatenate([labs, prev_slice])
-                        uniq, win = _segmented_mode(dsts, labs)
+                        uniq, win = _mode_votes(
+                            dsts, labs, prev_slice, not baked
+                        )
                         new_slice[uniq] = win
                     changed = int(
                         (new_slice != prev_slice).sum()
@@ -1103,8 +1361,23 @@ def lpa_kernel(
             "hold a prior run's vectors)"
         )
     if isinstance(graph_or_blocks, Graph):
+        spark = graph_or_blocks.edges.sparkSession
+        if slice_store is None and not resume and spill_dir is None:
+            # round-6 small-graph route: skip the block-layout Spark jobs
+            # entirely — one Arrow collect of the edge pairs, then the
+            # whole vote loop on the driver (identical labels; see
+            # _driver_graph_arrays / _driver_lpa_loop)
+            arrs = _driver_graph_arrays(graph_or_blocks, "canonical_sym")
+            if arrs is not None:
+                ids, srcs, dsts = arrs
+                if len(ids) == 0:
+                    return spark.createDataFrame([], "id long, label long")
+                return _driver_lpa_loop(
+                    spark, len(ids), [(0, srcs, dsts, None)], ids, False,
+                    max_rounds, fixed_rounds,
+                )
         eb = label_blocks(graph_or_blocks, spill_dir=spill_dir)
-        owned, spark = True, graph_or_blocks.edges.sparkSession
+        owned = True
     else:
         eb, owned, spark = _resolve_blocks(graph_or_blocks)
     try:
@@ -1113,6 +1386,27 @@ def lpa_kernel(
             return spark.createDataFrame([], "id long, label long")
         file_backed = eb.manifest is not None
         source_df = eb.manifest if file_backed else eb.blocks
+        # round-6 size route: small layouts run the whole vote loop on the
+        # driver over the block arrays (no per-round Spark job); per-block
+        # segmented mode + synthetic self-vote suffix is the identical
+        # integer arithmetic, so labels are exactly the distributed
+        # loops'. Never when a durable slice-store contract is in play.
+        if slice_store is None and not resume:
+            from metagraph_spark.operators.kernel import (
+                KERNEL_DRIVER_LOOP_MAX_VERTICES,
+                driver_block_arrays,
+            )
+
+            blks = (
+                driver_block_arrays(eb)
+                if n <= KERNEL_DRIVER_LOOP_MAX_VERTICES
+                else None
+            )
+            if blks is not None:
+                return _driver_lpa_loop(
+                    spark, n, blks, eb.node_ids, eb.self_votes_baked,
+                    max_rounds, fixed_rounds,
+                )
         if file_backed and (eb.spill_dir or slice_store is not None):
             r_df = _distributed_lpa_loop(
                 eb, max_rounds, fixed_rounds, slice_store=slice_store,
@@ -1138,21 +1432,14 @@ def lpa_kernel(
                         srcs, dsts, _ = _block_arrays(row, file_backed, False)
                         if len(srcs) == 0:
                             continue
-                        dsts = np.asarray(dsts, dtype=np.int64)
+                        lo = int(row["dst_lo"])
                         labs = np.asarray(cur)[srcs]
-                        if not baked:
-                            # synthetic self-vote suffix over the voted
-                            # span (positions past max(dsts) have no
-                            # neighbor votes; a lone self-vote is a no-op)
-                            lo = int(row["dst_lo"])
-                            width = int(dsts.max()) + 1
-                            dsts = np.concatenate(
-                                [dsts, np.arange(width, dtype=np.int64)]
-                            )
-                            labs = np.concatenate(
-                                [labs, np.asarray(cur)[lo : lo + width]]
-                            )
-                        uniq, win = _segmented_mode(dsts, labs)
+                        # self-votes applied algebraically inside
+                        # _mode_votes (identical winners to the old
+                        # synthetic suffix rows)
+                        uniq, win = _mode_votes(
+                            dsts, labs, np.asarray(cur)[lo:], not baked
+                        )
                         yield pd.DataFrame(
                             {
                                 "dst_lo": [np.int64(row["dst_lo"])],

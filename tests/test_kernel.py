@@ -212,6 +212,10 @@ def test_scale_layout_no_driver_arrays(spark, tmp_path, monkeypatch):
     from metagraph_spark.operators import kernel as K
 
     monkeypatch.setattr(K, "KERNEL_DISTRIBUTED_MIN_VERTICES", 0)
+    # ... and force past the round-6 small-graph driver loop, which holds
+    # dense driver vectors BY DESIGN below its edge cap — this test pins
+    # the DISTRIBUTED mode's O(num_blocks) driver-state property
+    monkeypatch.setattr(K, "KERNEL_DRIVER_LOOP_MAX_EDGES", -1)
 
     # golden graph + an isolated node (exercises the no-edges degree range)
     g = build(df_from_edges(spark, GOLDEN_EDGES, weighted=False), is_directed=True)
