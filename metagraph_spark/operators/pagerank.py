@@ -72,6 +72,16 @@ KERNEL_MAX_VERTICES = 50_000_000
 # which bypass this cap.
 KERNEL_AUTO_MAX_EDGES = 20_000_000
 
+# Below these caps the join-strategy superstep re-keys the edge cache by
+# DST once and BROADCASTS the per-superstep contribution vector into the
+# gather join (guide §2.4/§3.1): the groupBy(dst) and the merge-back join
+# against the hash-stamped vertex state then run partition-local, making
+# a superstep ONE shuffle-free stage instead of two data exchanges + an
+# AQE stage chain. Same size-routing as the LPA/katz broadcast plans;
+# above the caps the shuffled superstep keeps AQE's skew/coalesce
+# freedoms (measured faster at 100M edges).
+PAGERANK_BROADCAST_MAX_VERTICES = 16_000_000
+
 
 def pagerank(
     graph: Graph,
@@ -246,9 +256,41 @@ def pagerank(
     base = (1.0 - damping) / n
     total_iters = fixed_iterations if fixed_iterations is not None else maxiter
     err = None
+    # single-stage broadcast supersteps for small graphs (see
+    # PAGERANK_BROADCAST_MAX_VERTICES): dst-keyed edge cache + broadcast
+    # contribs + hash-stamped state. Checkpointed and warm-started runs
+    # keep the established plan (their state/resume contracts are pinned
+    # by tests and the streaming-maintenance path).
+    small = (
+        checkpointer is None
+        and n <= PAGERANK_BROADCAST_MAX_VERTICES
+        and graph.num_edges() <= KERNEL_AUTO_MAX_EDGES
+    )
+    # ONLY fixed-superstep runs take the broadcast plan. CONVERGED runs
+    # keep the established superstep plan UNCHANGED: any plan change
+    # (even state-partition stamping, measured) perturbs float summation
+    # order enough to move a convergence-threshold crossing by a
+    # superstep, and the converged oracle row unrolls the measured exact
+    # count — fixed-iteration results are count-pinned and therefore
+    # robust to ulp-level reordering under the 6-decimal rounding.
+    use_bcast = small and warm_start is None and fixed_iterations is not None
+    use_copart = copartition_state
+    edges_b = None
+    if use_bcast:
+        edges_b = edges.repartition(n_part, DST).persist()
+        edges_b.count()  # materialize so superstep plans see the layout
+        _release()
+
+        def _release() -> None:  # noqa: F811 — now owns the dst cache
+            edges_b.unpersist()
+
+    if use_bcast or (use_copart and not copartition_state):
+        state = truncate_lineage_partitioned(
+            state.repartition(n_part, ID), [ID], n_part
+        )
     lineage = (
         LineageManager(partition_cols=[ID], n_part=n_part)
-        if copartition_state
+        if (use_copart or use_bcast)
         else LineageManager()
     )
     # dangling mass of the CURRENT state (scan-aggregate, no joins)
@@ -265,12 +307,22 @@ def pagerank(
         # by src, state stamped by id), so SMJ's only remaining cost would
         # be a full SORT of the |E|-row edge cache EVERY superstep
         # (measured 40% slower at 100M edges); hash-building the |V|-row
-        # side instead costs one in-memory map per partition and no sorts
-        gather = (
-            edges.join(contrib.hint("shuffle_hash"), SRC)
-            .groupBy(F.col(DST).alias(ID))
-            .agg(F.sum("c").alias("g"))
-        )
+        # side instead costs one in-memory map per partition and no sorts.
+        # Broadcast mode: dst-keyed cache + broadcast contribs — the
+        # groupBy and the merge join below run partition-local (update
+        # expressions identical either way).
+        if use_bcast:
+            gather = (
+                edges_b.join(F.broadcast(contrib), SRC)
+                .groupBy(F.col(DST).alias(ID))
+                .agg(F.sum("c").alias("g"))
+            )
+        else:
+            gather = (
+                edges.join(contrib.hint("shuffle_hash"), SRC)
+                .groupBy(F.col(DST).alias(ID))
+                .agg(F.sum("c").alias("g"))
+            )
         new_state = (
             state.select(ID, "outdeg", "dangling", F.col("rank").alias("prev"))
             .join(gather.hint("shuffle_hash"), ID, "left")
