@@ -171,15 +171,14 @@ def _two_phase_cc(
     actually shrinks the set); the large-star intermediate stays a
     multiset, which min() and the ==0 observes are insensitive to."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    E = (
-        edges.filter(F.col(SRC) != F.col(DST))
-        .select(
-            F.greatest(SRC, DST).alias("u"), F.least(SRC, DST).alias("v")
-        )
-        .repartition(n_part, "u")
-        .dropDuplicates(["u", "v"])
+    # round 1 consumes E as a MULTISET (min-aggregation and the ==0
+    # observes are multiplicity-insensitive, and the large-star output is
+    # deduped partition-local inside the round), so the initial
+    # canonicalization pays NO exchange of its own — the raw canonical
+    # pairs flow straight into round 1's sym repartition
+    E = edges.filter(F.col(SRC) != F.col(DST)).select(
+        F.greatest(SRC, DST).alias("u"), F.least(SRC, DST).alias("v")
     )
-    E = truncate_lineage(E)
     if not E.take(1):
         # edgeless after self-loop removal: every node is its own star.
         # Must exit BEFORE the loop — AQE's empty-relation propagation

@@ -52,6 +52,16 @@ from metagraph_spark.graph import DST, SRC, Graph
 # positional cap as the other CSR kernels; ra*n then fits 2^62)
 TRI_KERNEL_MAX_NODES = 2**31 - 1
 
+# Below this edge count the degree-rank relabel + key-file build runs on
+# the driver (one Arrow collect + numpy sort) instead of the distributed
+# rank-sort/key-sort pipeline — the Spark jobs of that pipeline dominate
+# the whole query at bench scale (same guarded size route as the other
+# round-6 driver kernels). The triangle COUNT stays a distributed job
+# either way; the count is invariant to rank assignment, and the local
+# (degree, id) lexsort is the same total order the distributed rank sort
+# uses.
+TRI_DRIVER_LAYOUT_MAX_EDGES = 5_000_000
+
 
 def _write_sorted_keys(spark, keys_df, path: str) -> int:
     """Globally sorted int64 key file written slice-wise by tasks (the
@@ -151,6 +161,43 @@ def _count_span(keys_path: str, n: int, lo: int, hi: int,
     return tri
 
 
+def _count_ranges(spark, keys_path: str, n: int, m: int, nb: int,
+                  chunk_pairs: int) -> int:
+    """Distributed count over edge-balanced rank ranges: O(nb) probes of
+    the mmap'd key file pick the split points, each task counts its span
+    (:func:`_count_span`) and returns one scalar."""
+    probe = np.load(keys_path, mmap_mode="r")
+    cuts = sorted(
+        {int(probe[min(j * m // nb, m - 1)] // n) for j in range(1, nb)}
+    )
+    bounds = [0] + [c for c in cuts if 0 < c < n] + [n]
+    ranges = [
+        (bounds[i], bounds[i + 1])
+        for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    range_df = spark.createDataFrame(
+        ranges, "lo long, hi long"
+    ).repartition(len(ranges))
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield pd.DataFrame(
+                    {
+                        "tri": [
+                            _count_span(
+                                keys_path, n, int(row["lo"]),
+                                int(row["hi"]), chunk_pairs,
+                            )
+                        ]
+                    }
+                )
+
+    out = range_df.mapInPandas(count, schema="tri long").collect()
+    return int(sum(r["tri"] for r in out))
+
+
 def triangle_count_kernel(
     graph: Graph,
     spill_dir: str | None = None,
@@ -182,6 +229,47 @@ def triangle_count_kernel(
         if num_blocks is not None
         else spark.conf.get("spark.sql.shuffle.partitions")
     )
+    if graph.num_edges() <= TRI_DRIVER_LAYOUT_MAX_EDGES:
+        import shutil as _sh
+
+        pdf = graph.canonical_undirected_edges().select(SRC, DST).toPandas()
+        owned_dir = spill_dir is None
+        if owned_dir:
+            spill_dir = tempfile.mkdtemp(prefix="mgspark_trik_")
+        os.makedirs(spill_dir, exist_ok=True)
+        keys_path = os.path.join(spill_dir, "tri_keys.npy")
+        try:
+            if len(pdf) == 0:
+                return 0
+            s = pdf[SRC].to_numpy(dtype=np.int64)
+            d = pdf[DST].to_numpy(dtype=np.int64)
+            nodes, inv = np.unique(
+                np.concatenate([s, d]), return_inverse=True
+            )
+            si, di = inv[: len(s)], inv[len(s):]
+            degc = np.bincount(si, minlength=len(nodes)) + np.bincount(
+                di, minlength=len(nodes)
+            )
+            order = np.lexsort((nodes, degc))
+            rank = np.empty(len(nodes), dtype=np.int64)
+            rank[order] = np.arange(len(nodes))
+            ra, rb = rank[si], rank[di]
+            keys = np.sort(
+                np.minimum(ra, rb) * np.int64(n) + np.maximum(ra, rb)
+            )
+            np.save(keys_path, keys)
+            m = len(keys)
+            return _count_ranges(
+                spark, keys_path, n, m, nb, chunk_pairs
+            )
+        finally:
+            if owned_dir:
+                _sh.rmtree(spill_dir, ignore_errors=True)
+            else:
+                try:
+                    os.unlink(keys_path)
+                except FileNotFoundError:
+                    pass
     # canon feeds BOTH the degree table and the rank join — persist once
     canon = graph.canonical_undirected_edges().select(SRC, DST).persist()
     deg = (
@@ -254,37 +342,7 @@ def triangle_count_kernel(
         bc_poff.unpersist()
         if m == 0:
             return 0
-        # edge-balanced rank ranges: O(nb) probes of the mmap'd key file
-        probe = np.load(keys_path, mmap_mode="r")
-        cuts = sorted(
-            {int(probe[min(j * m // nb, m - 1)] // n) for j in range(1, nb)}
-        )
-        bounds = [0] + [c for c in cuts if 0 < c < n] + [n]
-        ranges = [
-            (bounds[i], bounds[i + 1])
-            for i in range(len(bounds) - 1)
-            if bounds[i] < bounds[i + 1]
-        ]
-        range_df = spark.createDataFrame(
-            ranges, "lo long, hi long"
-        ).repartition(len(ranges))
-
-        def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                for _, row in pdf.iterrows():
-                    yield pd.DataFrame(
-                        {
-                            "tri": [
-                                _count_span(
-                                    keys_path, n, int(row["lo"]),
-                                    int(row["hi"]), chunk_pairs,
-                                )
-                            ]
-                        }
-                    )
-
-        out = range_df.mapInPandas(count, schema="tri long").collect()
-        return int(sum(r["tri"] for r in out))
+        return _count_ranges(spark, keys_path, n, m, nb, chunk_pairs)
     finally:
         if owned_dir:
             shutil.rmtree(spill_dir, ignore_errors=True)
