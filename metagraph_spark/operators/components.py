@@ -171,6 +171,18 @@ def _two_phase_cc(
     actually shrinks the set); the large-star intermediate stays a
     multiset, which min() and the ==0 observes are insensitive to."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Narrower types (guide §2.3): when every edge endpoint fits int32
+    # (checked exactly, one scan-aggregate), the star rounds run on int
+    # pairs — every per-round exchange and dedup halves its bytes. Node
+    # ids outside the edge set (isolates) never enter the loop: they take
+    # their own (long) id in the final label join, so only the edge range
+    # gates the narrowing; labels are min-ids and cast back exactly.
+    lim = 2**31 - 1
+    row = edges.agg(
+        F.min(SRC), F.min(DST), F.max(SRC), F.max(DST)
+    ).collect()[0]
+    vals = [v for v in row if v is not None]
+    narrow = bool(vals) and min(vals) >= -lim - 1 and max(vals) <= lim
     # round 1 consumes E as a MULTISET (min-aggregation and the ==0
     # observes are multiplicity-insensitive, and the large-star output is
     # deduped partition-local inside the round), so the initial
@@ -179,6 +191,11 @@ def _two_phase_cc(
     E = edges.filter(F.col(SRC) != F.col(DST)).select(
         F.greatest(SRC, DST).alias("u"), F.least(SRC, DST).alias("v")
     )
+    if narrow:
+        E = E.select(
+            F.col("u").cast("int").alias("u"),
+            F.col("v").cast("int").alias("v"),
+        )
     if not E.take(1):
         # edgeless after self-loop removal: every node is its own star.
         # Must exit BEFORE the loop — AQE's empty-relation propagation
@@ -240,6 +257,11 @@ def _two_phase_cc(
             star_min = E.groupBy(F.col("u").alias(ID)).agg(
                 F.min("v").alias("_c")
             )
+            if narrow:
+                star_min = star_min.select(
+                    F.col(ID).cast("long").alias(ID),
+                    F.col("_c").cast("long").alias("_c"),
+                )
             return truncate_lineage(
                 nodes.join(star_min, ID, "left").select(
                     ID, F.coalesce("_c", F.col(ID)).alias("label")

@@ -106,6 +106,25 @@ def label_propagation_community(
         else LPA_BROADCAST_MAX_VERTICES
     )
 
+    # Narrower types (guide §2.3): when every node id fits int32 (checked
+    # exactly — one scan-aggregate over the edge cache and the explicit
+    # node set), the whole loop runs on int ids/labels: the one big layout
+    # exchange and the cached vote set halve their bytes, and the label
+    # values are ids, so a final cast back to long reproduces the exact
+    # output. Checkpointed runs stay on long (their saved state schema is
+    # a resume contract).
+    narrow = False
+    if checkpointer is None:
+        lim = 2**31 - 1
+        row = graph.edges.agg(
+            F.min(SRC), F.min(DST), F.max(SRC), F.max(DST)
+        ).collect()[0]
+        vals = [v for v in row if v is not None]
+        if graph.nodes is not None:
+            nrow = graph.nodes.agg(F.min(ID), F.max(ID)).collect()[0]
+            vals += [v for v in nrow if v is not None]
+        narrow = bool(vals) and min(vals) >= -lim - 1 and max(vals) <= lim
+
     # One-exchange layout (guide §2.3/§2.4): the canonical-both-directions
     # vote edge set is produced by ONE repartition of e ∪ reverse(e) by the
     # loop's key column, with the canonical dedup running partition-local
@@ -115,6 +134,11 @@ def label_propagation_community(
     # which also removes the |V|-row node_ids distinct from the layout.
     def _build_sym(part_col):
         e = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+        if narrow:
+            e = e.select(
+                F.col(SRC).cast("int").alias(SRC),
+                F.col(DST).cast("int").alias(DST),
+            )
         s = (
             e.unionAll(
                 e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
@@ -155,6 +179,8 @@ def label_propagation_community(
     )
     if graph.nodes is not None:
         extra = extra.unionAll(graph.nodes.select(ID))
+    if narrow:
+        extra = extra.select(F.col(ID).cast("int").alias(ID))
     extra = truncate_lineage(extra.distinct())
     nodes = truncate_lineage(endpoints.unionAll(extra).distinct())
     use_bcast = nodes.count() <= cap_b
@@ -172,12 +198,21 @@ def label_propagation_community(
     )
     if not isolates.take(1):
         isolates = None
+    def _widen(df: DataFrame) -> DataFrame:
+        # labels are node ids, so the int->long cast back is exact
+        if not narrow:
+            return df
+        return df.select(
+            F.col(ID).cast("long").alias(ID),
+            F.col("label").cast("long").alias("label"),
+        )
+
     if not sym.take(1):
         # edgeless graph: every node keeps its own label in every round
         # (exit before the loop — same AQE empty-relation observe hazard
         # as components._two_phase_cc)
         sym.unpersist()
-        return nodes.select(ID, F.col(ID).alias("label"))
+        return _widen(nodes.select(ID, F.col(ID).alias("label")))
 
     start_round = 0
     labels = None
@@ -292,4 +327,4 @@ def label_propagation_community(
         if fixed_rounds is None and changed == 0:
             break
     sym.unpersist()
-    return labels
+    return _widen(labels)

@@ -96,6 +96,10 @@ def test_two_phase_cc_matches_hash_min(spark):
         [(0, i) for i in range(1, 80)] + [(500 + i, 900 + i)
                                           for i in range(30)],
         [(5, 5), (7, 7), (1, 2)],  # self-loops only + one edge
+        # ids outside int32 (and negative): the round-6 narrow-int route
+        # must NOT engage, and results must still match
+        [(2**40 + i, 2**40 + i + 1) for i in range(40)]
+        + [(-(2**35), 2**40), (-5, -9)],
     ]
     for edges in shapes:
         g = build(df_from_edges(spark, edges, weighted=False),
