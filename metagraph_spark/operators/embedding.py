@@ -49,6 +49,10 @@ from metagraph_spark.state import truncate_lineage
 
 _TWO_PI = 2.0 * math.pi
 
+# |V|·r values above which the superstep state is no longer broadcast
+# into the series joins (~8 B/value plus framing → ~200 MB at the cap)
+HOPE_BROADCAST_MAX_VALUES = 25_000_000
+
 
 def _gauss_expr(id_col, col_idx: int, seed: int):
     """Deterministic standard gaussian per (id, column): Box–Muller over two
@@ -68,6 +72,7 @@ def _series_mul(
     k_terms: int,
     join_on: str,
     group_as: str,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """``sum_{k=1..K} beta^k M^k X`` where ``M x`` joins ``edges`` on
     ``join_on`` and aggregates to ``group_as`` (M = A when join_on=dst,
@@ -84,20 +89,22 @@ def _series_mul(
     t = state
     parts = []
     for _ in range(k_terms):
-        prod = (
-            edges.join(
-                t.select(F.col(ID).alias(join_on), *[F.col(c).alias(f"_{c}") for c in cols]).hint(
-                    "shuffle_hash"
-                ),
-                join_on,
-            )
-            .groupBy(F.col(group_as).alias(ID))
-            .agg(
-                *[
-                    (F.lit(beta) * F.sum(F.col(WEIGHT) * F.col(f"_{c}"))).alias(c)
-                    for c in cols
-                ]
-            )
+        side = t.select(
+            F.col(ID).alias(join_on),
+            *[F.col(c).alias(f"_{c}") for c in cols],
+        )
+        if broadcast_state:
+            # guide §2.4/§3.1: ``edges`` is keyed by ``group_as`` here, so
+            # broadcasting the |V|·r state makes the join AND the groupBy
+            # partition-local — a superstep is one shuffle-free stage
+            joined = edges.join(F.broadcast(side), join_on)
+        else:
+            joined = edges.join(side.hint("shuffle_hash"), join_on)
+        prod = joined.groupBy(F.col(group_as).alias(ID)).agg(
+            *[
+                (F.lit(beta) * F.sum(F.col(WEIGHT) * F.col(f"_{c}"))).alias(c)
+                for c in cols
+            ]
         )
         t = truncate_lineage(prod)
         parts.append(t)
@@ -184,11 +191,23 @@ def hope_katz_train(
         edges = edges.select(SRC, DST, WEIGHT)
     else:
         edges = edges.select(SRC, DST, F.lit(1.0).alias(WEIGHT))
-    # two cached layouts: the S pass joins on dst, the S^T pass on src —
-    # co-partitioned caches keep every superstep to one state shuffle
+    # two cached layouts: the S pass joins on dst and aggregates by src,
+    # the S^T pass the reverse. With a small |V|·r state each pass feeds
+    # off the cache keyed by its GROUP column and BROADCASTS the state:
+    # join and aggregation are then partition-local — one shuffle-free
+    # stage per superstep (guide §2.4). Past the broadcast budget both
+    # passes fall back to shuffle joins on the join-keyed caches.
     edges_by_dst = edges.repartition(n_part, DST).persist()
     edges_by_src = edges.repartition(n_part, SRC).persist()
     nodes = truncate_lineage(graph.node_ids()).persist()
+    # ~8 B per value plus framing: cap the broadcast at ~200 MB
+    bcast = graph.num_nodes() * r <= HOPE_BROADCAST_MAX_VALUES
+    s_edges = edges_by_src if bcast else edges_by_dst
+    st_edges = edges_by_dst if bcast else edges_by_src
+    if bcast:
+        # materialize both caches so superstep plans see their layouts
+        edges_by_src.count()
+        edges_by_dst.count()
 
     cols = [f"v{j}" for j in range(r)]
     omega = truncate_lineage(
@@ -197,17 +216,21 @@ def hope_katz_train(
         )
     )
     # Y = S Omega; subspace iterations; Z = S^T Q
-    y = _series_mul(edges_by_dst, omega, cols, beta, k_terms, DST, SRC)
+    y = _series_mul(s_edges, omega, cols, beta, k_terms, DST, SRC,
+                    broadcast_state=bcast)
     q, qcols = _orthonormalize(y, cols, "q")
     q = truncate_lineage(q)
     for _ in range(power_iters):
-        z = _series_mul(edges_by_src, q, qcols, beta, k_terms, SRC, DST)
+        z = _series_mul(st_edges, q, qcols, beta, k_terms, SRC, DST,
+                        broadcast_state=bcast)
         q, qcols = _orthonormalize(z, qcols, "q")
         q = truncate_lineage(q)
-        y = _series_mul(edges_by_dst, q, qcols, beta, k_terms, DST, SRC)
+        y = _series_mul(s_edges, q, qcols, beta, k_terms, DST, SRC,
+                        broadcast_state=bcast)
         q, qcols = _orthonormalize(y, qcols, "q")
         q = truncate_lineage(q)
-    z = _series_mul(edges_by_src, q, qcols, beta, k_terms, SRC, DST)
+    z = _series_mul(st_edges, q, qcols, beta, k_terms, SRC, DST,
+                    broadcast_state=bcast)
     z = truncate_lineage(z)
 
     M = _gram(z, qcols)
