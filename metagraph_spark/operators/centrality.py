@@ -989,7 +989,16 @@ def _betweenness_distributed_weighted(
                 dist.select("root", F.col(ID).alias("_w"), F.col("dist").alias("_dw")),
                 ["root", "_w"],
             )
-            .filter(F.col("_du") + F.col("_ew") == F.col("_dw"))
+            .filter(
+                # DAG-edge test with a tiny RELATIVE tolerance: equal-cost
+                # parallel paths whose float sums round differently must
+                # not be silently dropped from sigma/delta (ADVICE r5).
+                # For weights with exact float sums (integers — the oracle
+                # fixtures) the tolerance is inert: non-equal distances
+                # differ by >= 1, far above 1e-12 relative.
+                F.abs(F.col("_du") + F.col("_ew") - F.col("_dw"))
+                <= F.lit(1e-12) * F.greatest(F.abs(F.col("_dw")), F.lit(1.0))
+            )
             .select("root", "_u", "_w")
         )
         dag = truncate_lineage(dag.repartition(n_part, "root", "_u")).persist()

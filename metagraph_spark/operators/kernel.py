@@ -250,36 +250,40 @@ def shared_fs_available(spark, probe_dir: str) -> bool:
     ``probe_dir`` — the contract the file-backed kernels and
     :class:`LocalSliceStore` rely on (local mode, NFS/Lustre).
 
-    ``local[*]`` masters short-circuit to True. Otherwise ONE task writes
-    a token file under ``probe_dir`` and the driver checks it exists —
-    an up-front, cheap validation instead of a mid-run mmap failure (or
-    worse, a silent read of a stale same-named worker-local file). The
-    verdict is cached per (session, probe_dir)."""
+    ``local[*]`` masters short-circuit to True. Otherwise the DRIVER
+    writes a token file under ``probe_dir`` and ONE executor task reports
+    whether it can read it — an up-front, cheap validation instead of a
+    mid-run mmap failure (or worse, a silent read of a stale same-named
+    worker-local file). Driver-writes/executor-reads means the token is
+    always the driver's own file to clean up: a failed probe leaks
+    nothing on the workers (ADVICE r5). The verdict is cached per
+    (application, probe_dir) — ``applicationId`` is stable for the
+    session's lifetime, where ``id(spark)`` could collide after GC."""
     import os
     import uuid
 
     master = spark.sparkContext.master or ""
     if master.startswith("local"):
         return True
-    key = (id(spark), probe_dir)
+    key = (spark.sparkContext.applicationId, probe_dir)
     cached = _SHARED_FS_PROBED.get(key)
     if cached is not None:
         return cached
     token = os.path.join(probe_dir, f"_fsprobe_{uuid.uuid4().hex}")
 
-    def write_token(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def read_token(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for _ in batches:
             pass
-        with open(token, "w") as f:
-            f.write("ok")
-        yield pd.DataFrame({"ok": [1]})
+        yield pd.DataFrame({"ok": [1 if os.path.exists(token) else 0]})
 
     try:
         os.makedirs(probe_dir, exist_ok=True)
-        spark.range(1).repartition(1).mapInPandas(
-            write_token, schema="ok int"
-        ).count()
-        ok = os.path.exists(token)
+        with open(token, "w") as f:
+            f.write("ok")
+        rows = spark.range(1).repartition(1).mapInPandas(
+            read_token, schema="ok int"
+        ).collect()
+        ok = bool(rows and rows[0]["ok"] == 1)
     except Exception:  # probe failure == not shared
         ok = False
     finally:

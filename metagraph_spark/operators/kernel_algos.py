@@ -679,6 +679,7 @@ def _distributed_cc_loop(
     durable = hasattr(store, "mark_complete") and hasattr(
         store, "latest_complete"
     )
+    mode = "fixed" if fixed_rounds is not None else "converged"
     cur, rnd = 0, 0
     resumed = False
     if resume and durable:
@@ -690,6 +691,18 @@ def _distributed_cc_loop(
                     "resume requested but the slice store holds a "
                     f"different run (stored {prior}, this run algo=cc "
                     f"n={n})"
+                )
+            if prior.get("mode", mode) != mode:
+                # converged-mode vectors include pointer-jump commits, so
+                # "vector index == round" does NOT hold across modes: a
+                # fixed-round resume from a converged store would
+                # overstate the completed rounds and unroll a different k
+                # (ADVICE r5)
+                raise ValueError(
+                    "resume requested with "
+                    f"{mode} rounds but the slice store holds a "
+                    f"{prior.get('mode')!r}-mode run; finish it with the "
+                    "same mode or start a fresh store"
                 )
             # fixed-round runs never jump, so vector index == round and
             # the count is EXACT (oracle comparisons unroll a specific k);
@@ -703,7 +716,7 @@ def _distributed_cc_loop(
             resumed = True
     if not resumed:
         if hasattr(store, "put_meta"):
-            store.put_meta({"algo": "cc", "n": n, "round": 0})
+            store.put_meta({"algo": "cc", "n": n, "round": 0, "mode": mode})
         store.write_full(0, np.arange(n, dtype=np.int64))
         if durable:
             store.mark_complete(0)
@@ -787,7 +800,7 @@ def _distributed_cc_loop(
         for old in range(max(0, cur - 3), cur):
             store.delete_vector(old)
         if durable and hasattr(store, "put_meta"):
-            store.put_meta({"algo": "cc", "n": n, "round": rnd})
+            store.put_meta({"algo": "cc", "n": n, "round": rnd, "mode": mode})
         if fixed_rounds is None and changed == 0:
             converged = True
             break

@@ -443,8 +443,18 @@ def subisomorphic(
             f"subisomorphic backtracking is exponential in pattern size; "
             f"pattern has {n_pat} nodes > max {max_pattern_nodes}"
         )
-    if n_pat > graph.num_nodes() or pattern.num_edges() > graph.num_edges():
+    # the node pre-check is safe on raw counts; the EDGE pre-check must
+    # compare like with like — the search dedups edge rows (and the engine
+    # tolerates duplicate edges elsewhere), so a pattern with duplicated
+    # rows must not be falsely rejected on its raw row count (ADVICE r5).
+    # Raw counts can only over-count, so only re-count (distinct) when the
+    # raw comparison would reject.
+    if n_pat > graph.num_nodes():
         return False
+    if pattern.num_edges() > graph.num_edges():
+        p_distinct = pattern.edges.select(SRC, DST).distinct().count()
+        if p_distinct > graph.edges.select(SRC, DST).distinct().count():
+            return False
     directed = graph.is_directed
     p_edges = [
         (r[SRC], r[DST])

@@ -367,13 +367,12 @@ def astar_search(
     n = len(node_arr)
     g = np.full(n, np.inf, dtype=np.float64)
     parent = np.full(n, -1, dtype=np.int64)
-    done = np.zeros(n, dtype=bool)
     g[s] = 0.0
     parent[s] = s
-    pq = [(float(heuristic_func(int(node_arr[s]))), s)]
+    pq = [(float(heuristic_func(int(node_arr[s]))), s, 0.0)]
     path = None
     while pq:
-        _, node = heapq.heappop(pq)
+        _, node, gp = heapq.heappop(pq)
         if node == t:
             rev = [node]
             while node != s:
@@ -381,9 +380,13 @@ def astar_search(
                 rev.append(node)
             path = rev[::-1]
             break
-        if done[node]:
+        # lazy-deletion stale check (mirrors nx.astar_path): an entry is
+        # dead only if a CHEAPER g for this node has been found since it
+        # was pushed — a settled node whose g later improves (legal under
+        # an admissible-but-INCONSISTENT heuristic) is re-expanded, where
+        # a done[] flag would silently leave its successors unrelaxed
+        if gp > g[node]:
             continue
-        done[node] = True
         gn = g[node]
         for j in range(indptr[node], indptr[node + 1]):
             nb = int(nbr[j])
@@ -392,7 +395,8 @@ def astar_search(
                 g[nb] = ng
                 parent[nb] = node
                 heapq.heappush(
-                    pq, (ng + float(heuristic_func(int(node_arr[nb]))), nb)
+                    pq,
+                    (ng + float(heuristic_func(int(node_arr[nb]))), nb, ng),
                 )
     if path is None:
         raise ValueError(

@@ -218,3 +218,33 @@ def test_astar_no_path(spark):
     g = build(df_from_edges(spark, [(0, 1, 1.0), (2, 3, 1.0)]), is_directed=True)
     with pytest.raises(ValueError, match="no path"):
         astar_search(g, 0, 3, lambda _: 0.0)
+
+
+def test_astar_inconsistent_admissible_heuristic_reexpands(spark):
+    """Admissible-but-INCONSISTENT heuristic (a legal input per the
+    reference contract): node 2 ("x") is first popped via the direct
+     10-weight edge, then a cheaper path through node 1 appears. A
+    done-flag A* would never re-relax x's successors and return the
+    cost-20 path; mirroring nx's lazy-deletion re-expansion must return
+    the optimal 0→1→2→3 path (cost 12), as nx.astar_path does."""
+    from metagraph_spark.operators.traversal import astar_search
+
+    edges = [(0, 2, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 3, 10.0)]
+    g = build(df_from_edges(spark, edges), is_directed=True)
+    # h(1)=11 (== true remaining distance, admissible) but
+    # h(1) > w(1,2) + h(2) = 1 — inconsistent
+    h = {0: 0.0, 1: 11.0, 2: 0.0, 3: 0.0}
+    path = [
+        r["id"]
+        for r in astar_search(g, 0, 3, lambda nid: h[nid])
+        .orderBy("pos")
+        .collect()
+    ]
+    assert path == [0, 1, 2, 3]
+    nx = pytest.importorskip("networkx")
+    G = nx.DiGraph()
+    for a, b, w in edges:
+        G.add_edge(a, b, weight=w)
+    assert path == nx.astar_path(
+        G, 0, 3, heuristic=lambda u, v: h[u], weight="weight"
+    )
