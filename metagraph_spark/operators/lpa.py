@@ -198,6 +198,7 @@ def label_propagation_community(
     )
     if not isolates.take(1):
         isolates = None
+
     def _widen(df: DataFrame) -> DataFrame:
         # labels are node ids, so the int->long cast back is exact
         if not narrow:
