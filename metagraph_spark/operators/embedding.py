@@ -53,6 +53,16 @@ _TWO_PI = 2.0 * math.pi
 # into the series joins (~8 B/value plus framing → ~200 MB at the cap)
 HOPE_BROADCAST_MAX_VALUES = 25_000_000
 
+# Below this edge count (and within the |V|·r broadcast budget above) the
+# whole randomized-SVD pipeline runs on the DRIVER over once-collected
+# Arrow arrays: the (2*power_iters+2)*k_terms superstep chain is
+# job-floor-bound at small scale (each superstep a near-empty single-stage
+# job), so two collects + numpy segmented sums replace ~40 Spark jobs.
+# Same guarded-driver-kernel envelope as operators/kernel.py
+# KERNEL_DRIVER_LOOP_MAX_EDGES; the distributed path is untouched above
+# the caps.
+HOPE_DRIVER_MAX_EDGES = 5_000_000
+
 
 def _gauss_expr(id_col, col_idx: int, seed: int):
     """Deterministic standard gaussian per (id, column): Box–Muller over two
@@ -118,6 +128,130 @@ def _series_mul(
     )
 
 
+def _orth_np(Y: np.ndarray) -> np.ndarray:
+    """Driver-side orthonormalization — the same Gram + ridge + Cholesky
+    arithmetic as ``_orthonormalize`` runs on the aggregated G."""
+    G = Y.T @ Y
+    ridge = 1e-12 * max(float(np.trace(G)), 1.0)
+    R = np.linalg.cholesky(G + ridge * np.eye(Y.shape[1])).T
+    return Y @ np.linalg.inv(R)
+
+
+def _mix31_np(ids: np.ndarray, seed: int) -> np.ndarray:
+    """int64 numpy twin of ``subgraph.mix31`` — every intermediate is
+    bounded by (2^31) * 2654435761 < 2^63, and numpy's ``%`` matches
+    Spark's ``pmod`` (non-negative result), so the hash is exact for any
+    signed 64-bit id."""
+    h1 = ((ids % _P31) * np.int64(2654435761) + np.int64(seed)) % _P31
+    h2 = ((h1 ^ (h1 >> 15)) * np.int64(1597334677)) % _P31
+    return h2 ^ (h2 >> 13)
+
+
+def _gauss_np(ids: np.ndarray, col_idx: int, seed: int) -> np.ndarray:
+    u1 = (_mix31_np(ids, seed + 2 * col_idx) + 1.0) / float(_P31 + 1)
+    u2 = (_mix31_np(ids, seed + 2 * col_idx + 1) + 1.0) / float(_P31 + 1)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(_TWO_PI * u2)
+
+
+def _hope_driver(
+    spark,
+    edges: DataFrame,
+    nodes: DataFrame | None,
+    half: int,
+    r: int,
+    beta: float,
+    k_terms: int,
+    power_iters: int,
+    seed: int,
+) -> DataFrame:
+    """Driver kernel: the identical pipeline over one collected edge list.
+
+    The node set is the collected endpoints ∪ the explicit node set (same
+    universe as ``graph.node_ids()``, no distinct job); omega comes from
+    the numpy mix31 twin (hash arithmetic exact; the Box–Muller log/cos
+    may differ from the JVM's by an ulp — orders of magnitude inside the
+    1e-8 numpy-twin tolerance, and hope_katz has no driver oracle row).
+    The mat-vec supersteps become deterministic segmented sums
+    (``np.add.reduceat`` over edge lists sorted by the group endpoint),
+    and every dense step (Gram, Cholesky, eigh, column combos) is the
+    exact driver arithmetic the distributed path already runs on its
+    aggregated r x r matrices. Float sums reorder vs the distributed
+    partial aggs within the numpy-twin test tolerance — the same caveat
+    the round-6 union-sum series merge documented."""
+    import pandas as pd
+
+    epdf = edges.toPandas()
+    e_src = epdf[SRC].to_numpy(dtype=np.int64, na_value=0)
+    e_dst = epdf[DST].to_numpy(dtype=np.int64, na_value=0)
+    id_parts = [e_src, e_dst]
+    if nodes is not None:
+        id_parts.append(
+            nodes.select(ID).toPandas()[ID].to_numpy(dtype=np.int64, na_value=0)
+        )
+    ids_sorted = np.unique(np.concatenate(id_parts)) if id_parts else np.array(
+        [], dtype=np.int64
+    )
+    omega = np.column_stack(
+        [_gauss_np(ids_sorted, j, seed) for j in range(r)]
+    ) if len(ids_sorted) else np.zeros((0, r))
+    src = np.searchsorted(ids_sorted, e_src)
+    dst = np.searchsorted(ids_sorted, e_dst)
+    w = epdf[WEIGHT].to_numpy().astype(float)
+
+    n = len(ids_sorted)
+
+    def _make_mul(group_idx, gather_idx):
+        # Y[g] = sum over edges in group g of w * T[gather]: sort the edge
+        # list by the group endpoint once (sequential accumulate writes),
+        # then each column is one weighted bincount — measured 2.2x over
+        # the 2D gather + add.reduceat shape (no |E| x r temporary), and
+        # deterministic (fixed edge order per pass)
+        o = np.argsort(group_idx, kind="stable")
+        g, a, ww = group_idx[o], gather_idx[o], w[o]
+
+        def mul(T):
+            Y = np.empty_like(T)
+            for j in range(T.shape[1]):
+                Y[:, j] = np.bincount(g, weights=ww * T[a, j], minlength=n)
+            return Y
+
+        return mul
+
+    s_mul = _make_mul(src, dst)  # Y = A X   (aggregate by src, gather dst)
+    st_mul = _make_mul(dst, src)  # Y = A^T X
+
+    def _series(mul, X):
+        T, Y = X, np.zeros_like(X)
+        for _ in range(k_terms):
+            T = beta * mul(T)
+            Y = Y + T
+        return Y
+
+    q = _orth_np(_series(s_mul, omega))
+    for _ in range(power_iters):
+        q = _orth_np(_series(st_mul, q))
+        q = _orth_np(_series(s_mul, q))
+    z = _series(st_mul, q)
+
+    M = z.T @ z
+    evals, u_b = np.linalg.eigh(M)
+    top = np.argsort(evals)[::-1][:half]
+    sig = np.sqrt(np.maximum(evals[top], 0.0))
+    u_b = u_b[:, top]
+    dead = sig < 1e-12 * max(float(sig[0]) if len(sig) else 0.0, 1e-300)
+    u_b[:, dead] = 0.0
+    sig[dead] = 1.0
+
+    emb = np.hstack([q @ (u_b * np.sqrt(sig)), z @ (u_b / np.sqrt(sig))])
+    # plain python floats: the non-Arrow createDataFrame fallback (sessions
+    # without spark.sql.execution.arrow.pyspark.enabled) rejects
+    # numpy.float64 elements inside array<double>
+    out_pdf = pd.DataFrame({ID: ids_sorted, "emb": emb.tolist()})
+    return spark.createDataFrame(
+        out_pdf, schema=f"{ID} long, emb array<double>"
+    )
+
+
 def _gram(df: DataFrame, cols: list) -> np.ndarray:
     """X^T X as one aggregate job; only the r x r result reaches the driver."""
     r = len(cols)
@@ -164,6 +298,7 @@ def hope_katz_train(
     power_iters: int = 2,
     oversample: int = 4,
     seed: int = 42,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Train HOPE-katz embeddings; returns ``(id, emb array<double>)`` with
     ``len(emb) == 2 * (embedding_size // 2)`` — source half then target
@@ -191,6 +326,22 @@ def hope_katz_train(
         edges = edges.select(SRC, DST, WEIGHT)
     else:
         edges = edges.select(SRC, DST, F.lit(1.0).alias(WEIGHT))
+    # size-routed driver kernel (round 6): below the edge cap (and within
+    # the |V|·r broadcast budget) the superstep chain is job-floor-bound,
+    # not compute-bound — run the identical pipeline on the driver over
+    # two Arrow collects instead of ~(2q+2)*k_terms Spark jobs. The
+    # ``driver_max_edges`` override (0 disables) exists for tests and for
+    # callers that want the distributed plan regardless.
+    cap = HOPE_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if (
+        cap
+        and graph.num_edges() <= cap
+        and graph.num_nodes() * r <= HOPE_BROADCAST_MAX_VALUES
+    ):
+        return _hope_driver(
+            spark, edges, graph.nodes, half, r, beta, k_terms,
+            power_iters, seed,
+        )
     # two cached layouts: the S pass joins on dst and aggregates by src,
     # the S^T pass the reverse. With a small |V|·r state each pass feeds
     # off the cache keyed by its GROUP column and BROADCASTS the state:

@@ -97,12 +97,17 @@ def _numpy_hope(edges, n, d, beta, k_terms, power_iters, oversample, seed):
     return np.hstack([src, tgt]), sig
 
 
-def test_hope_katz_matches_numpy_twin(spark):
+@pytest.mark.parametrize("driver_cap", [None, 0])
+def test_hope_katz_matches_numpy_twin(spark, driver_cap):
+    # driver_cap None routes the small fixture to the round-6 driver
+    # kernel; 0 forces the distributed superstep path — both must match
+    # the same dense-algebra twin
     edges = _fixture_edges()
     n, d = 20, 8
     g = build(df_from_edges(spark, [(s, t, 1.0) for s, t in edges]), is_directed=True)
     out = hope_katz_train(
-        g, embedding_size=d, beta=0.05, k_terms=5, power_iters=1, oversample=2, seed=7
+        g, embedding_size=d, beta=0.05, k_terms=5, power_iters=1, oversample=2,
+        seed=7, driver_max_edges=driver_cap,
     )
     got = {r["id"]: np.array(r["emb"]) for r in out.collect()}
     expected, _ = _numpy_hope(edges, n, d, 0.05, 5, 1, 2, 7)
@@ -148,6 +153,41 @@ def test_hope_katz_spectral_quality(spark):
     best = np.linalg.norm(S - U[:, :half] * sd[:half] @ Vt[:half])
     err = np.linalg.norm(S - S_hat)
     assert err <= 1.05 * best + 1e-12, (err, best)
+
+
+def test_hope_katz_driver_matches_distributed(spark):
+    """Round-6 driver kernel vs the distributed superstep path on a
+    weighted fixture with self-loops and an isolate-support node set:
+    same embeddings up to per-column sign (summation-order flips), checked
+    through the sign-invariant src_i . tgt_j proximity product."""
+    rng = np.random.default_rng(9)
+    rows = []
+    seen = set()
+    while len(rows) < 80:
+        s, t = int(rng.integers(25)), int(rng.integers(25))
+        if (s, t) in seen:
+            continue
+        seen.add((s, t))
+        rows.append((s, t, float(rng.integers(1, 5))))  # includes self-loops
+    g = build(df_from_edges(spark, rows), is_directed=True)
+    kw = dict(embedding_size=8, beta=0.05, k_terms=6, power_iters=1,
+              oversample=2, seed=13)
+    drv = {r["id"]: np.array(r["emb"])
+           for r in hope_katz_train(g, **kw).collect()}
+    dst = {r["id"]: np.array(r["emb"])
+           for r in hope_katz_train(g, driver_max_edges=0, **kw).collect()}
+    assert set(drv) == set(dst)
+    ids = sorted(drv)
+    D = np.array([drv[i] for i in ids])
+    X = np.array([dst[i] for i in ids])
+    half = 4
+    S_d = D[:, :half] @ D[:, half:].T
+    S_x = X[:, :half] @ X[:, half:].T
+    assert np.allclose(S_d, S_x, atol=1e-8), np.abs(S_d - S_x).max()
+    for c in range(2 * half):
+        assert np.allclose(D[:, c], X[:, c], atol=1e-8) or np.allclose(
+            D[:, c], -X[:, c], atol=1e-8
+        ), c
 
 
 def test_hope_katz_guards(spark):
